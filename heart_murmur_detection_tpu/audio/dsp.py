@@ -1,0 +1,276 @@
+"""Batched JAX DSP pipeline (the TPU fast path).
+
+Replaces the reference's librosa/torchaudio per-clip CPU loop
+(src/util.py:481-501, src/benchmark/model_util.py:138-176) with one jittable
+graph over a padded batch:
+
+    wav (B, Nmax) zero-padded + lengths (B,)  ->  mel (B, Tmax, n_mels) + frames (B,)
+
+Design notes (TPU-first):
+- hop == n_fft/2, so framing is a reshape + slice (zero-copy), no gather.
+- The DFT is expressed as two real matmuls with precomputed (windowed) cosine /
+  sine bases -> runs on the MXU and fuses with the mel projection; an FFT path
+  exists for cross-checking. Matmuls use Precision.HIGHEST so fp32 parity with
+  the numpy oracle holds to ~1e-5.
+- power_to_db(ref=max) and per-clip min-max are masked reductions over valid
+  frames only, so a whole batch matches per-clip librosa output exactly.
+
+Numerical parity oracle: audio.reference_np (tested in tests/test_dsp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import reference_np as ref
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# precomputed constant bases (host numpy, cached)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_bases(n_fft: int, window: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT bases: frames @ cos -> Re, frames @ (-sin) -> Im."""
+    k = np.arange(1 + n_fft // 2)
+    n = np.arange(n_fft)
+    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
+    if window == "hann_periodic":
+        w = ref.hann_periodic(n_fft)
+    elif window == "hanning_symmetric":
+        w = ref.hanning_symmetric(n_fft)
+    elif window == "none":
+        w = np.ones(n_fft)
+    else:
+        raise ValueError(window)
+    cos = (np.cos(ang) * w[:, None]).astype(np.float32)
+    sin = (-np.sin(ang) * w[:, None]).astype(np.float32)
+    return cos, sin
+
+
+@functools.lru_cache(maxsize=None)
+def _mel_fb(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
+    return ref.mel_filterbank_slaney(sr, n_fft, n_mels, fmin, fmax).T.copy()  # (bins, mels)
+
+
+# ---------------------------------------------------------------------------
+# framing
+# ---------------------------------------------------------------------------
+
+
+def frame_half_hop(x: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Frames with hop = n_fft//2 via reshape (B, N) -> (B, T, n_fft).
+
+    Requires N to be a multiple of n_fft//2. T = N//hop - 1.
+    """
+    B, N = x.shape
+    hop = n_fft // 2
+    segs = x.reshape(B, N // hop, hop)
+    return jnp.concatenate([segs[:, :-1], segs[:, 1:]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# mel frontend (librosa parity)
+# ---------------------------------------------------------------------------
+
+
+def mel_frontend(
+    wav: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sr: int = 16000,
+    n_mels: int = 64,
+    fmin: float = 50.0,
+    fmax: float = 8000.0,
+    n_fft: int = 1024,
+    hop: int = 512,
+    top_db: float = 80.0,
+    normalize: bool = True,
+    use_fft: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched pre_process_audio_mel_t (src/util.py:481-501).
+
+    Args:
+      wav: (B, Nmax) float32, each row zero-padded beyond its length.
+      lengths: (B,) int32 valid sample counts.
+    Returns:
+      mel: (B, Tmax, n_mels) min-max normalised (invalid frames zeroed),
+      n_frames: (B,) int32 valid frame counts (= lengths//hop + 1).
+    """
+    assert hop * 2 == n_fft, "mel_frontend assumes 50% hop (reference uses 1024/512)"
+    B, Nmax = wav.shape
+    pad = n_fft // 2
+    # center padding; trailing zeros already present in the batch buffer.
+    x = jnp.pad(wav, ((0, 0), (pad, pad)))
+    frames = frame_half_hop(x, n_fft)  # (B, Tmax+1, n_fft) where Tmax = Nmax//hop
+    Tmax = Nmax // hop + 1
+    frames = frames[:, :Tmax]
+
+    if use_fft:
+        w = jnp.asarray(ref.hann_periodic(n_fft), dtype=jnp.float32)
+        spec = jnp.fft.rfft(frames * w, axis=-1)
+        power = jnp.abs(spec).astype(jnp.float32) ** 2
+    else:
+        cos, sin = _dft_bases(n_fft, "hann_periodic")
+        f = frames.astype(compute_dtype)
+        re = jnp.matmul(f, jnp.asarray(cos), precision=HIGH)
+        im = jnp.matmul(f, jnp.asarray(sin), precision=HIGH)
+        power = (re * re + im * im).astype(jnp.float32)
+
+    fb = jnp.asarray(_mel_fb(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.matmul(power, fb, precision=HIGH)  # (B, Tmax, n_mels)
+
+    n_frames = (lengths // hop + 1).astype(jnp.int32)
+    valid = jnp.arange(Tmax)[None, :] < n_frames[:, None]  # (B, Tmax)
+    vmask = valid[:, :, None]
+
+    logm = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    ref_db = jnp.max(jnp.where(vmask, logm, -jnp.inf), axis=(1, 2), keepdims=True)
+    db = logm - ref_db
+    db = jnp.maximum(db, -top_db)  # max over valid is 0, so top_db clamp = -top_db
+
+    if normalize:
+        lo = jnp.min(jnp.where(vmask, db, jnp.inf), axis=(1, 2), keepdims=True)
+        hi = jnp.max(jnp.where(vmask, db, -jnp.inf), axis=(1, 2), keepdims=True)
+        scale = jnp.where(hi > lo, 1.0 / jnp.maximum(hi - lo, 1e-12), 1.0)
+        db = (db - lo) * scale
+    out = jnp.where(vmask, db, 0.0)
+    return out.astype(jnp.float32), n_frames
+
+
+# ---------------------------------------------------------------------------
+# Kaldi fbank frontend (Audio-MAE path)
+# ---------------------------------------------------------------------------
+
+
+def kaldi_fbank_frontend(
+    wav: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sr: int = 16000,
+    num_mel_bins: int = 128,
+    frame_length_ms: float = 25.0,
+    frame_shift_ms: float = 10.0,
+    preemphasis: float = 0.97,
+    remove_dc_offset: bool = True,
+    subtract_mean_wav: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched kaldi fbank (src/util.py:841-856 semantics, dither=0).
+
+    Returns (B, Tmax, num_mel_bins) with invalid frames zeroed, and (B,) valid
+    frame counts (= 1 + (len-win)//shift, 0 if len < win).
+    """
+    B, Nmax = wav.shape
+    win = int(sr * frame_length_ms / 1000)
+    shift = int(sr * frame_shift_ms / 1000)
+    padded = 1 << (win - 1).bit_length()
+
+    if subtract_mean_wav:
+        # reference subtracts the *valid-region* mean before fbank
+        mean = jnp.sum(wav, axis=1, keepdims=True) / jnp.maximum(lengths[:, None], 1)
+        valid_n = jnp.arange(Nmax)[None, :] < lengths[:, None]
+        wav = jnp.where(valid_n, wav - mean, 0.0)
+
+    Tmax = max(1 + (Nmax - win) // shift, 1)
+    patches = jax.lax.conv_general_dilated_patches(
+        wav[:, None, :], (win,), (shift,), "VALID"
+    )  # (B, win, T')
+    frames = jnp.transpose(patches, (0, 2, 1))[:, :Tmax].astype(jnp.float32)
+
+    if remove_dc_offset:
+        frames = frames - frames.mean(axis=-1, keepdims=True)
+    if preemphasis != 0.0:
+        prev = jnp.concatenate([frames[:, :, :1], frames[:, :, :-1]], axis=-1)
+        frames = frames - preemphasis * prev
+    w = jnp.asarray(ref.hanning_symmetric(win), dtype=jnp.float32)
+    frames = frames * w
+
+    fr = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - win)))
+    cos, sin = _dft_bases(padded, "none")
+    re = jnp.matmul(fr, jnp.asarray(cos), precision=HIGH)
+    im = jnp.matmul(fr, jnp.asarray(sin), precision=HIGH)
+    power = re * re + im * im  # (B, T, padded//2+1)
+
+    banks = jnp.asarray(
+        ref.kaldi_mel_banks(num_mel_bins, padded, sr).T
+    )  # (padded//2, mels)
+    mel_e = jnp.matmul(power[:, :, : padded // 2], banks, precision=HIGH)
+    mel_e = jnp.log(jnp.maximum(mel_e, jnp.finfo(jnp.float32).eps))
+
+    n_frames = jnp.where(lengths >= win, 1 + (lengths - win) // shift, 0).astype(
+        jnp.int32
+    )
+    valid = jnp.arange(Tmax)[None, :] < n_frames[:, None]
+    return jnp.where(valid[:, :, None], mel_e, 0.0), n_frames
+
+
+# ---------------------------------------------------------------------------
+# bicubic time-resize with dynamic source length (HTS-AT reshape_wav2img)
+# ---------------------------------------------------------------------------
+
+
+def _cubic_weight(d: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
+    """Cubic convolution kernel (torch bicubic uses A=-0.75)."""
+    d = jnp.abs(d)
+    w1 = (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+    w2 = a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+    return jnp.where(d <= 1.0, w1, jnp.where(d < 2.0, w2, 0.0))
+
+
+def resize_bicubic_time(
+    x: jnp.ndarray, src_len: jnp.ndarray, out_len: int
+) -> jnp.ndarray:
+    """Bicubic align_corners=True resize along axis 1, per-example source length.
+
+    x: (B, Tmax, F) with rows >= src_len undefined/zero. src_len: (B,) int32.
+    Equivalent to torch F.interpolate(mode='bicubic', align_corners=True) on the
+    first src_len rows (htsat.py:838-839), but batched with dynamic lengths so
+    one compiled graph serves every clip length. Identity when src_len==out_len.
+    """
+    B, Tmax, F = x.shape
+    j = jnp.arange(out_len, dtype=jnp.float32)[None, :]  # (1, out)
+    scale = (src_len.astype(jnp.float32) - 1.0) / (out_len - 1.0)  # (B,)
+    pos = j * scale[:, None]  # (B, out)
+    i0 = jnp.floor(pos).astype(jnp.int32)
+    idx = i0[:, :, None] + jnp.arange(-1, 3)[None, None, :]  # (B, out, 4)
+    d = pos[:, :, None] - idx.astype(jnp.float32)
+    w = _cubic_weight(d)  # (B, out, 4)
+    idx = jnp.clip(idx, 0, jnp.maximum(src_len[:, None, None] - 1, 0))
+    gathered = jnp.take_along_axis(
+        x[:, :, None, :], idx[:, :, :, None].clip(0, Tmax - 1), axis=1
+    )  # (B, out, 4, F)
+    return jnp.einsum("botf,bot->bof", gathered, w, precision=HIGH)
+
+
+def resize_bicubic_static(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Static-shape bicubic (align_corners=True) along axis 1."""
+    B = x.shape[0]
+    src = jnp.full((B,), x.shape[1], dtype=jnp.int32)
+    return resize_bicubic_time(x, src, out_len)
+
+
+# ---------------------------------------------------------------------------
+# host-side convenience pipelines (decode -> trim -> pad -> device mel)
+# ---------------------------------------------------------------------------
+
+
+def pad_batch(
+    clips, pad_to_multiple: int = 512, max_len: Optional[int] = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a list of 1-D clips to a common length (multiple of hop)."""
+    lengths = np.array([len(c) for c in clips], dtype=np.int32)
+    n = int(lengths.max()) if max_len is None else max_len
+    n = ((n + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
+    out = np.zeros((len(clips), n), dtype=np.float32)
+    for i, c in enumerate(clips):
+        m = min(len(c), n)
+        out[i, :m] = c[:m]
+        lengths[i] = m
+    return out, lengths
