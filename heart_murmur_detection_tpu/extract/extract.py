@@ -1,0 +1,214 @@
+"""Batched feature extraction — replaces the reference's per-file batch-1 hot
+loop (src/benchmark/model_util.py:113-182, the primary TPU target per
+SURVEY §3.1) with fixed-shape jit graphs over padded batches:
+
+  operaCT : whole clip (<=32 s) -> device mel -> HTS-AT latent (dim 768/512)
+  operaCE : whole clip -> device mel -> EfficientNet (masked pool) (1280/512)
+  operaGT : 8.18 s 50%-hop chunks -> device mel -> ViT-S forward_feature ->
+            mean over chunks (384)
+  audiomae: 10 s non-overlap chunks (+tail) -> device kaldi fbank -> ViT-B
+            global-pool backbone -> mean over chunks (768)
+
+Host does decode+trim+window policy only; all spectrogram + encoder compute is
+one compiled graph per (model, batch) shape.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import dsp, pipelines
+from ..audio.pad import split_pad_sample, split_sample_simple
+from ..models.cola import Cola
+from ..models.vit_mae import AudioMAEClassifierBackbone, MaskedAutoencoderViT
+from . import registry
+
+SR = 16000
+
+
+def _batched(n: int, bs: int):
+    for i in range(0, n, bs):
+        yield i, min(i + bs, n)
+
+
+class FeatureExtractor:
+    """Batched jit extraction for one pretrained encoder."""
+
+    def __init__(
+        self,
+        pretrain: str,
+        dim: int = 1280,
+        input_sec: float = 8,
+        ckpt_path: Optional[str] = None,
+        batch_size: int = 16,
+        pad0: bool = False,
+        random_init: bool = False,
+        compute_dtype=jnp.float32,
+    ):
+        self.pretrain = pretrain
+        self.is_mae = "mae" in pretrain or "GT" in pretrain
+        self.is_audiomae = "audiomae" in pretrain
+        self.dim = dim
+        self.input_sec = input_sec
+        self.batch_size = batch_size
+        self.pad0 = pad0
+        self.compute_dtype = compute_dtype
+        self.model, self.variables = registry.initialize_pretrained_model(
+            pretrain, ckpt_path=ckpt_path, random_init=random_init
+        )
+        self.max_sec = 32 if "operaCT" in pretrain else None
+        self._fn = self._build()
+
+    # -- device graphs -------------------------------------------------------
+    def _build(self):
+        model, variables = self.model, self.variables
+
+        if self.is_audiomae:
+
+            @jax.jit
+            def fn(wav, lengths):
+                fb, nf = dsp.kaldi_fbank_frontend(wav, lengths)
+                return model.apply(variables, fb)
+
+            return fn
+
+        if self.is_mae:  # operaGT
+
+            @jax.jit
+            def fn(wav, lengths):
+                mel, nf = dsp.mel_frontend(wav, lengths)
+                mel = mel[:, :256]
+                return model.apply(
+                    variables, mel, method=MaskedAutoencoderViT.forward_feature
+                )
+
+            return fn
+
+        dim = self.dim
+
+        @jax.jit
+        def fn(wav, lengths):
+            mel, nf = dsp.mel_frontend(wav, lengths)
+            return model.apply(
+                variables, mel, dim, nf, method=Cola.extract_feature
+            )
+
+        return fn
+
+    # -- host orchestration ----------------------------------------------------
+    def _clip_waveform(self, path: str) -> Optional[np.ndarray]:
+        types = "zero" if self.pad0 else "repeat"
+        return pipelines.get_entire_signal(
+            path, input_sec=self.input_sec, pad=True, types=types, max_sec=self.max_sec
+        )
+
+    def _chunks(self, path: str) -> List[np.ndarray]:
+        if self.is_audiomae:
+            yt = pipelines._load_trim(path, SR, None, 200, 1800)
+            chunks = split_sample_simple(yt, 10, SR)
+            return [c - c.mean() for c in chunks if len(c) > 400]
+        yt = pipelines._load_trim(path, SR, None, 200, 1800)
+        return split_pad_sample(yt, self.input_sec, SR)
+
+    def extract_files(self, sound_dir_loc: Sequence[str]) -> np.ndarray:
+        if self.is_mae or self.is_audiomae:
+            return self._extract_chunked(sound_dir_loc)
+        return self._extract_whole(sound_dir_loc)
+
+    # whole-clip models (operaCT / operaCE)
+    def _extract_whole(self, paths) -> np.ndarray:
+        clips = [self._clip_waveform(p) for p in paths]
+        max_len = (
+            int((self.max_sec or max(len(c) / SR for c in clips)) * SR)
+            if clips
+            else 0
+        )
+        return self.extract_waveforms(clips, max_len=max_len)
+
+    def extract_waveforms(
+        self, clips: List[np.ndarray], max_len: Optional[int] = None
+    ) -> np.ndarray:
+        out = []
+        bs = self.batch_size
+        if max_len is None:
+            max_len = max(len(c) for c in clips)
+        for lo, hi in _batched(len(clips), bs):
+            chunk = clips[lo:hi]
+            if len(chunk) < bs:  # pad batch to fixed size, drop extras after
+                chunk = chunk + [chunk[0]] * (bs - len(chunk))
+            wav, lengths = dsp.pad_batch(chunk, max_len=max_len)
+            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
+            out.append(f[: hi - lo])
+        return np.concatenate(out, axis=0)
+
+    # chunked models (operaGT / audiomae)
+    def _extract_chunked(self, paths) -> np.ndarray:
+        all_chunks: List[np.ndarray] = []
+        owners: List[int] = []
+        for i, p in enumerate(paths):
+            for c in self._chunks(p):
+                # reference requires >=16 mel frames per chunk
+                if len(c) // 512 + 1 >= 16:
+                    all_chunks.append(c)
+                    owners.append(i)
+        feats = self.extract_chunk_waveforms(all_chunks)
+        d = feats.shape[1]
+        out = np.zeros((len(paths), d), np.float32)
+        cnt = np.zeros(len(paths), np.int64)
+        for f, o in zip(feats, owners):
+            out[o] += f
+            cnt[o] += 1
+        cnt = np.maximum(cnt, 1)
+        return out / cnt[:, None]
+
+    def extract_chunk_waveforms(self, chunks: List[np.ndarray]) -> np.ndarray:
+        if self.is_audiomae:
+            max_len = 10 * SR  # multiple of 160
+        else:
+            max_len = ((int(self.input_sec * SR) + 511) // 512) * 512
+        out = []
+        bs = self.batch_size
+        for lo, hi in _batched(len(chunks), bs):
+            part = chunks[lo:hi]
+            if len(part) < bs:
+                part = part + [part[0]] * (bs - len(part))
+            wav, lengths = dsp.pad_batch(part, max_len=max_len)
+            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
+            out.append(f[: hi - lo])
+        return np.concatenate(out, axis=0)
+
+
+def extract_opera_feature(
+    sound_dir_loc,
+    pretrain: str = "operaCE",
+    input_sec: float = 8,
+    dim: int = 1280,
+    pad0: bool = False,
+    ckpt_path: Optional[str] = None,
+    batch_size: int = 16,
+    random_init: bool = False,
+) -> np.ndarray:
+    """Functional API mirroring model_util.extract_opera_feature:113-182."""
+    ex = FeatureExtractor(
+        pretrain,
+        dim=dim,
+        input_sec=input_sec,
+        ckpt_path=ckpt_path,
+        pad0=pad0,
+        batch_size=batch_size,
+        random_init=random_init,
+    )
+    return ex.extract_files(list(sound_dir_loc))
+
+
+def extract_audiomae_feature(
+    sound_dir_loc, input_sec: float = 10, ckpt_path: Optional[str] = None, **kw
+) -> np.ndarray:
+    """Mirrors extract_feature.extract_audioMAE_feature:105-171."""
+    ex = FeatureExtractor("audiomae", dim=768, input_sec=input_sec, ckpt_path=ckpt_path, **kw)
+    return ex.extract_files(list(sound_dir_loc))

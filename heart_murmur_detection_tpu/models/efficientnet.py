@@ -120,6 +120,7 @@ class EfficientNet(nn.Module):
 
     config: EfficientNetConfig = EfficientNetConfig()
     drop_connect_rate: float = 0.2
+    return_map: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -156,6 +157,8 @@ class EfficientNet(nn.Module):
         x = nn.Conv(_round_filters(1280, cfg), (1, 1), use_bias=False, name="_conv_head")(x)
         x = _BN(name="_bn1")(x, ura)
         x = nn.silu(x)
+        if self.return_map:
+            return x
         return x.mean(axis=(1, 2))  # include_top=False -> global avg pool
 
 
@@ -169,7 +172,22 @@ class ColaEfficientNetEncoder(nn.Module):
     def __call__(self, mel: jnp.ndarray, n_frames=None, train: bool = False):
         x = mel[..., None]  # (B, T, F, 1)
         x = nn.Conv(3, (3, 3), padding="VALID", name="cnn1")(x)
-        x = EfficientNet(
-            drop_connect_rate=self.drop_connect_rate, name="efficientnet"
+        fmap = EfficientNet(
+            drop_connect_rate=self.drop_connect_rate,
+            return_map=n_frames is not None,
+            name="efficientnet",
         )(x, train)
-        return x
+        if n_frames is None:
+            return fmap
+        # masked global pool over valid rows: the VALID 3x3 stem drops 2 frames,
+        # the 5 stride-2 SAME convs each halve with ceil -> ceil((n-2)/32) rows.
+        # Boundary rows mix a little zero-padding through conv receptive fields;
+        # exact parity requires per-length compilation (extract docs).
+        B, Tm, Wm, C = fmap.shape
+        valid = jnp.ceil((n_frames - 2) / 32.0).astype(jnp.int32)
+        valid = jnp.clip(valid, 1, Tm)
+        row_ok = jnp.arange(Tm)[None, :] < valid[:, None]  # (B, Tm)
+        w = row_ok[:, :, None, None]
+        s = jnp.sum(fmap * w, axis=(1, 2))
+        denom = (valid * Wm).astype(fmap.dtype)[:, None]
+        return s / denom

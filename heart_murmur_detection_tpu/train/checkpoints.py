@@ -1,0 +1,93 @@
+"""Checkpoint save/restore with reference-compatible naming.
+
+The reference encodes the hyperparameter tuple + epoch + monitored metric in
+every checkpoint filename and *globs by that pattern* downstream
+(eval_ckpts.py:79-88). We keep the same convention with .msgpack payloads
+(flax.serialization) instead of torch pickles.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, List, Optional, Tuple
+
+import flax.serialization as ser
+import jax
+import numpy as np
+
+
+def save_params(path: str, tree: Any) -> str:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(ser.msgpack_serialize(jax.device_get(tree)))
+    return path
+
+
+def load_params(path: str) -> Any:
+    with open(path, "rb") as f:
+        return ser.msgpack_restore(f.read())
+
+
+def find_best_ckpt(
+    dirpath: str, pattern: str, metric: str = "valid_auc", mode: str = "max"
+) -> Optional[str]:
+    """Glob `pattern` under dirpath and pick the best by the metric encoded in
+    the filename (eval_ckpts.py:79-88 behavior)."""
+    cands = glob.glob(os.path.join(dirpath, pattern))
+    best, best_v = None, None
+    rx = re.compile(rf"{metric}=([-0-9.]+)")
+    for c in cands:
+        m = rx.search(os.path.basename(c))
+        if not m:
+            continue
+        v = float(m.group(1).rstrip("."))
+        if best_v is None or (v > best_v if mode == "max" else v < best_v):
+            best, best_v = c, v
+    return best
+
+
+class TopKCheckpointer:
+    """save_top_k behavior of pl.ModelCheckpoint (cola_training.py:266-273):
+    keep the k best checkpoints by a monitored metric, save every N epochs."""
+
+    def __init__(
+        self,
+        dirpath: str,
+        filename_fmt: str,
+        monitor: str = "valid_loss",
+        mode: str = "min",
+        save_top_k: int = 5,
+        every_n_epochs: int = 1,
+    ):
+        self.dirpath = dirpath
+        self.fmt = filename_fmt
+        self.monitor = monitor
+        self.mode = mode
+        self.k = save_top_k
+        self.every = every_n_epochs
+        self.kept: List[Tuple[float, str]] = []
+
+    def step(self, epoch: int, metric_value: float, tree: Any, **fmt_kw) -> Optional[str]:
+        if self.every and (epoch + 1) % self.every != 0:
+            return None
+        sign = -1.0 if self.mode == "min" else 1.0
+        score = sign * float(metric_value)
+        if len(self.kept) >= self.k and score <= min(s for s, _ in self.kept):
+            return None
+        name = self.fmt.format(epoch=epoch, **{self.monitor: metric_value}, **fmt_kw)
+        path = save_params(os.path.join(self.dirpath, name), tree)
+        self.kept.append((score, path))
+        self.kept.sort(key=lambda t: -t[0])
+        while len(self.kept) > self.k:
+            _, worst = self.kept.pop()
+            try:
+                os.remove(worst)
+            except OSError:
+                pass
+        return path
+
+    @property
+    def best_path(self) -> Optional[str]:
+        return self.kept[0][1] if self.kept else None

@@ -1,0 +1,70 @@
+"""Extraction service: end-to-end from WAV files to feature matrices with
+randomly-initialized encoders (no checkpoints in this environment)."""
+
+import numpy as np
+import pytest
+
+from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+from heart_murmur_detection_tpu.utils.audio_io import write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    r = np.random.default_rng(0)
+    paths = []
+    for i, sec in enumerate([9.0, 3.5, 21.0]):
+        y = (0.3 * np.sin(2 * np.pi * 80 * np.arange(int(sec * 16000)) / 16000)).astype(
+            np.float32
+        ) + 0.02 * r.standard_normal(int(sec * 16000)).astype(np.float32)
+        p = str(d / f"clip{i}.wav")
+        write_wav(p, y, 16000)
+        paths.append(p)
+    return paths
+
+
+class TestExtractorPaths:
+    def test_operact_whole_clip(self, wav_dir):
+        ex = FeatureExtractor(
+            "operaCT", dim=768, input_sec=8, random_init=True, batch_size=2, pad0=True
+        )
+        f = ex.extract_files(wav_dir)
+        assert f.shape == (3, 768)
+        assert np.isfinite(f).all()
+        # different clips -> different features; deterministic across calls
+        assert not np.allclose(f[0], f[2])
+        f2 = ex.extract_files(wav_dir)
+        np.testing.assert_allclose(f, f2, atol=1e-5)
+
+    def test_operagt_chunked_mean(self, wav_dir):
+        ex = FeatureExtractor(
+            "operaGT", dim=384, input_sec=8.18, random_init=True, batch_size=4
+        )
+        f = ex.extract_files(wav_dir)
+        assert f.shape == (3, 384)
+        assert np.isfinite(f).all()
+
+    def test_audiomae_chunked(self, wav_dir):
+        ex = FeatureExtractor(
+            "audiomae", dim=768, input_sec=10, random_init=True, batch_size=4
+        )
+        f = ex.extract_files(wav_dir)
+        assert f.shape == (3, 768)
+        assert np.isfinite(f).all()
+
+    def test_operace_masked_pool(self, wav_dir):
+        ex = FeatureExtractor(
+            "operaCE", dim=1280, input_sec=8, random_init=True, batch_size=2
+        )
+        f = ex.extract_files(wav_dir[:2])
+        assert f.shape == (2, 1280)
+        assert np.isfinite(f).all()
+
+    def test_batch_padding_does_not_change_features(self, wav_dir):
+        """Feature of a clip must not depend on what else is in the batch."""
+        ex = FeatureExtractor(
+            "operaCT", dim=768, input_sec=8, random_init=True, batch_size=4, pad0=True
+        )
+        f_all = ex.extract_files(wav_dir)
+        f_single = ex.extract_files(wav_dir[:1])
+        np.testing.assert_allclose(f_all[0], f_single[0], atol=1e-4)
