@@ -1,0 +1,97 @@
+"""Benchmark: mel+encoder feature-extraction throughput (clips/sec/chip) on
+the flagship OPERA-CT path, versus a reference-style per-clip loop.
+
+The reference's hot loop (model_util.py:113-182) processes one file at a time:
+librosa mel on CPU, encoder forward at batch size 1. The baseline here mimics
+that design faithfully on this machine (numpy-oracle mel on host + batch-1
+encoder dispatch); the framework number is the batched single-graph TPU
+pipeline. Both consume identical pre-decoded waveforms so the comparison
+isolates pipeline design, not disk I/O.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from heart_murmur_detection_tpu.audio import dsp
+    from heart_murmur_detection_tpu.audio import reference_np as ref
+    from heart_murmur_detection_tpu.extract import registry
+    from heart_murmur_detection_tpu.models.cola import Cola
+
+    SR = 16000
+    CLIP_SEC = 10.0
+    N_CLIPS = 256
+    BATCH = 64
+
+    r = np.random.default_rng(0)
+    clips = [
+        (0.3 * np.sin(2 * np.pi * 80 * np.arange(int(CLIP_SEC * SR)) / SR)
+         + 0.05 * r.standard_normal(int(CLIP_SEC * SR))).astype(np.float32)
+        for _ in range(N_CLIPS)
+    ]
+
+    model, variables = registry.initialize_pretrained_model("operaCT", random_init=True)
+
+    max_len = ((int(CLIP_SEC * SR) + 511) // 512) * 512
+
+    @jax.jit
+    def batched(wav, lengths):
+        mel, nf = dsp.mel_frontend(wav, lengths)
+        return model.apply(variables, mel, 768, nf, method=Cola.extract_feature)
+
+    wav, lengths = dsp.pad_batch(clips[:BATCH], max_len=max_len)
+    wavj, lenj = jnp.asarray(wav), jnp.asarray(lengths)
+    np.asarray(batched(wavj, lenj))  # compile + warm
+
+    t0 = time.time()
+    n_done = 0
+    reps = 0
+    while n_done < N_CLIPS:
+        out = batched(wavj, lenj)
+        n_done += BATCH
+        reps += 1
+    np.asarray(out)  # sync
+    dt = time.time() - t0
+    ours = n_done / dt
+
+    # reference-style baseline: host mel per clip + batch-1 encoder dispatch
+    @jax.jit
+    def encoder_one(mel, nf):
+        return model.apply(variables, mel, 768, nf, method=Cola.extract_feature)
+
+    mel0 = ref.pre_process_audio_mel_t(clips[0], f_max=8000)
+    np.asarray(
+        encoder_one(jnp.asarray(mel0[None]), jnp.asarray([mel0.shape[0]], np.int32))
+    )  # compile
+    n_base = 16
+    t0 = time.time()
+    for c in clips[:n_base]:
+        m = ref.pre_process_audio_mel_t(c, f_max=8000)
+        f = encoder_one(jnp.asarray(m[None]), jnp.asarray([m.shape[0]], np.int32))
+        np.asarray(f)
+    base = n_base / (time.time() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "operaCT mel+encoder extraction throughput (10s clips)",
+                "value": round(ours, 2),
+                "unit": "clips/sec/chip",
+                "vs_baseline": round(ours / base, 2),
+                "baseline_per_clip_loop": round(base, 2),
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Shared helpers for dataset processors: every processor writes the same
+feature/<task>_eval/ contract as the reference (SURVEY §1 'data artifacts'):
+sound_dir_loc.npy, train_test_split.npy, <labels>.npy, int_to_*.json, and the
+extractors append <model><dim>_feature.npy.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+
+def save_json(feature_dir: str, name: str, mapping: Dict) -> None:
+    os.makedirs(feature_dir, exist_ok=True)
+    with open(os.path.join(feature_dir, name), "w") as f:
+        json.dump(mapping, f)
+
+
+def stratified_64_16_20(files, labels, seed: int):
+    """64/16/20 split: 20% test then 20% of remainder as val (both stratified)."""
+    from sklearn.model_selection import train_test_split
+
+    _x_train, x_test, _y_train, _ = train_test_split(
+        files, labels, test_size=0.2, random_state=seed, stratify=labels
+    )
+    x_train, x_val, _, _ = train_test_split(
+        _x_train, _y_train, test_size=0.2, random_state=seed, stratify=_y_train
+    )
+    tr, va = set(x_train), set(x_val)
+    return ["train" if f in tr else "val" if f in va else "test" for f in files]
+
+
+def extract_and_save(
+    feature_dir: str,
+    pretrain: str,
+    input_sec: float = 8,
+    dim: int = 1280,
+    ckpt_path: Optional[str] = None,
+    pad0: bool = False,
+    fine_tuned: Optional[str] = None,
+    seed=None,
+    random_init: bool = False,
+    batch_size: int = 16,
+) -> str:
+    """Run batched extraction for a processed feature dir and save
+    <pretrain><dim>_feature.npy (processing scripts' extract_and_save_embeddings)."""
+    from ...extract.extract import FeatureExtractor
+
+    sound_dir_loc = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+    ex = FeatureExtractor(
+        pretrain,
+        dim=dim,
+        input_sec=input_sec,
+        ckpt_path=ckpt_path,
+        pad0=pad0,
+        random_init=random_init,
+        batch_size=batch_size,
+    )
+    feats = ex.extract_files([str(f) for f in sound_dir_loc])
+    name = pretrain + ("" if "audiomae" in pretrain else str(dim))
+    suffix = "" if not fine_tuned else f"_finetuned_{fine_tuned}_{seed}"
+    out = os.path.join(feature_dir, name + suffix + "_feature.npy")
+    np.save(out, feats)
+    return out
+
+
+def default_input_sec(pretrain: str, min_len_htsat: float = 8, min_len_cnn: float = 8):
+    """Per-model window policy (circor_processing.py:325-343)."""
+    if "operaCT" in pretrain:
+        return min_len_htsat
+    if pretrain == "operaCE":
+        return min_len_cnn
+    if pretrain == "operaGT":
+        return 8.18
+    if "audiomae" in pretrain:
+        return 10
+    return 8

@@ -119,6 +119,10 @@ def initialize_pretrained_model(
     (used by tests and from-scratch training, pretrain='null' in the reference).
     """
     rng = jax.random.PRNGKey(0) if rng is None else rng
+    # param init is pure allocation — run it on host CPU (remote-TPU compile of
+    # the init graph is pointlessly slow through the axon tunnel) and let the
+    # forward jit place params on the accelerator.
+    cpu = jax.devices("cpu")[0]
     if "operaCT" in pretrain or pretrain == "null-htsat":
         model = Cola(ColaConfig(encoder="htsat"))
         init_fn = lambda: model.init(
@@ -145,7 +149,7 @@ def initialize_pretrained_model(
         raise NotImplementedError(f"Model not found: {pretrain}")
 
     if random_init or pretrain.startswith("null"):
-        return model, init_fn()
+        return model, _cached_init(kind, init_fn, cpu)
 
     if ckpt_path is None:
         if "audiomae" in pretrain:
@@ -154,9 +158,30 @@ def initialize_pretrained_model(
             ckpt_path = get_encoder_path(pretrain)
     loaded = convert.load_converted(ckpt_path, kind)
     # merge into randomly-initialized template so missing leaves keep defaults
-    template = init_fn()
+    template = _cached_init(kind, init_fn, cpu)
     variables = _merge_trees(jax.device_get(template), loaded)
     return model, variables
+
+
+def _cached_init(kind: str, init_fn, cpu):
+    """Initializing the big encoders compiles a full forward (~2 min on this
+    host); cache the variable tree to disk keyed by model kind+version."""
+    import flax.serialization as ser
+
+    cache_dir = os.environ.get("HMDT_CACHE", os.path.expanduser("~/.cache/hmdt"))
+    path = os.path.join(cache_dir, f"init-{kind}-v1.msgpack")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return ser.msgpack_restore(f.read())
+    with jax.default_device(cpu):
+        variables = jax.device_get(init_fn())
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(ser.msgpack_serialize(variables))
+    except OSError:
+        pass
+    return variables
 
 
 def _merge_trees(base: dict, update: dict) -> dict:

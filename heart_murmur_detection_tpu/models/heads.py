@@ -76,7 +76,7 @@ def freeze_mask_fn(freeze_encoder: str, encoder_name: str = "encoder") -> Callab
                 "layers_0",
                 "layers_1",
                 "layers_2",
-                "/norm",
+                f"{encoder_name}/norm/",  # the final LayerNorm only
                 "tscam_conv",
                 # efficientnet early-block names
                 "cnn1",

@@ -1,0 +1,191 @@
+"""COLA continued-pretraining loop (src/pretrain/cola_training.py).
+
+Protocol: batch 64, Adam 1e-4 with x0.99/epoch decay, up to 512 epochs,
+multi-corpus weighted sampling (one corpus per step), checkpoint top-5 by
+valid_loss every 10 epochs, optional warm-start from a base OPERA encoder and
+optional freeze_encoder='early' (spectrogram/bn + swin stage 0,
+models_cola.py:249-261 — our DSP is outside the model, so 'early' freezes bn0
++ patch_embed + stage 0).
+
+TPU-native: the step is one jit (per corpus crop length); with a mesh the
+batch shards over the 'data' axis and XLA inserts the grad psum over ICI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cola import Cola, ColaConfig
+from ..parallel.mesh import put_replicated, shard_batch
+from ..train.checkpoints import TopKCheckpointer
+from ..utils.logging import CSVLogger
+from . import steps
+from .data import Corpus, MultiCorpusSampler, load_corpus
+
+
+def _cola_early_freeze(path: tuple) -> bool:
+    p = "/".join(path)
+    frozen = ("encoder/bn0", "encoder/layers_0_blocks",)
+    return not any(k in p for k in frozen)
+
+
+def train_multiple_data(
+    title: str,
+    data_source: Dict[str, int],
+    dim_fea: int = 1280,
+    dim_hidden: int = 1280,
+    dim_out: int = 512,
+    encoder: str = "efficientnet",
+    n_epoches: int = 512,
+    pretrain: Optional[str] = None,
+    freeze_encoder: str = "none",
+    batch_size: int = 64,
+    lr: float = 1e-4,
+    seed: int = 42,
+    ckpt_root: str = "cks/model/combined",
+    log_dir: str = "cks/logs",
+    mesh=None,
+    corpora: Optional[list] = None,
+    manifest_fn=None,
+    eval_every: int = 1,
+    verbose: bool = True,
+    htsat_config=None,
+):
+    kw = {} if htsat_config is None else {"htsat": htsat_config}
+    model = Cola(
+        ColaConfig(encoder=encoder, dim_fea=dim_fea, dim_hidden=dim_hidden, dim_out=dim_out),
+        **kw,
+    )
+    rng = jax.random.PRNGKey(seed)
+    bins = htsat_config.mel_bins if htsat_config is not None else 64
+    dummy = jnp.zeros((1, 64, bins))
+    variables = model.init(rng, (dummy, dummy))
+    params = variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    if pretrain and pretrain != "None":
+        from ..extract import registry
+
+        _, loaded = registry.initialize_pretrained_model(pretrain)
+        # warm-start encoder weights (strict=False overlap, models_cola.py:230-234)
+        params = registry._merge_trees(jax.device_get(params), jax.device_get(loaded["params"]))
+        if "batch_stats" in loaded and "batch_stats" in extra:
+            extra["batch_stats"] = registry._merge_trees(
+                jax.device_get(extra["batch_stats"]), loaded["batch_stats"]
+            )
+
+    if corpora is None:
+        corpora = [
+            load_corpus(name, max_len, "cola", manifest=manifest_fn(name) if manifest_fn else None)
+            for name, max_len in data_source.items()
+        ]
+    # with a device mesh, batches must divide evenly across the data axis
+    sampler = MultiCorpusSampler(
+        corpora, batch_size, "cola", seed=seed, drop_last=mesh is not None or None
+    )
+
+    tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
+    if freeze_encoder == "early":
+        tx = steps.make_frozen(tx, _cola_early_freeze)
+    opt_state = tx.init(params)
+
+    from ..models.cola import cola_loss
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, x1, x2, rng):
+        def loss_fn(p):
+            (z1, z2), new_state = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                (x1, x2),
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+            )
+            loss, acc = cola_loss(z1, z2)
+            return loss, (acc, new_state["batch_stats"])
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (
+            jax.tree.map(lambda p, u: p + u, params, updates),
+            new_bs,
+            opt_state,
+            loss,
+            acc,
+        )
+
+    @jax.jit
+    def eval_step(params, batch_stats, x1, x2):
+        z1, z2 = model.apply(
+            {"params": params, "batch_stats": batch_stats}, (x1, x2), train=False
+        )
+        return cola_loss(z1, z2)
+
+    batch_stats = extra.get("batch_stats", {})
+    if mesh is not None:
+        params = put_replicated(params, mesh)
+        batch_stats = put_replicated(batch_stats, mesh)
+        opt_state = put_replicated(opt_state, mesh)
+
+    ckpt = TopKCheckpointer(
+        dirpath=os.path.join(ckpt_root, "_".join(data_source.keys())),
+        filename_fmt="encoder-" + title + "-epoch={epoch:02d}--valid_acc={valid_acc:.2f}-valid_loss={valid_loss:.4f}.msgpack",
+        monitor="valid_loss",
+        mode="min",
+        save_top_k=5,
+        every_n_epochs=10,
+    )
+    logger = CSVLogger(os.path.join(log_dir, "combined"), title)
+
+    step_rng = jax.random.PRNGKey(seed + 1)
+    history = []
+    for epoch in range(n_epoches):
+        t0 = time.time()
+        tr_losses = []
+        for _ in range(sampler.steps_per_epoch):
+            s, (x1, x2) = sampler.next_batch()
+            b = (jnp.asarray(x1), jnp.asarray(x2))
+            if mesh is not None:
+                b = shard_batch(b, mesh)
+            step_rng, k = jax.random.split(step_rng)
+            params, batch_stats, opt_state, loss, acc = train_step(
+                params, batch_stats, opt_state, b[0], b[1], k
+            )
+            tr_losses.append((s, loss))
+        if (epoch + 1) % eval_every == 0:
+            vl, va = [], []
+            for s, (x1, x2) in sampler.val_batches():
+                b = (jnp.asarray(x1), jnp.asarray(x2))
+                if mesh is not None:
+                    b = shard_batch(b, mesh)
+                loss, acc = eval_step(params, batch_stats, b[0], b[1])
+                vl.append(float(loss))
+                va.append(float(acc))
+            valid_loss = float(np.mean(vl)) if vl else float("nan")
+            valid_acc = float(np.mean(va)) if va else float("nan")
+            train_loss = float(np.mean([float(l) for _, l in tr_losses]))
+            logger.log(
+                epoch=epoch,
+                train_loss=train_loss,
+                valid_loss=valid_loss,
+                valid_acc=valid_acc,
+            )
+            history.append(dict(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss, valid_acc=valid_acc))
+            if verbose:
+                print(
+                    f"[cola-cp {title}] epoch {epoch} train {train_loss:.4f} "
+                    f"valid {valid_loss:.4f} acc {valid_acc:.3f} ({time.time()-t0:.1f}s)"
+                )
+            ckpt.step(
+                epoch,
+                valid_loss,
+                {"params": params, "batch_stats": batch_stats},
+                valid_acc=valid_acc,
+            )
+    return {"params": params, "batch_stats": batch_stats}, history, ckpt.best_path

@@ -1,0 +1,127 @@
+"""MAE / Audio-MAE continued-pretraining loop (src/pretrain/mae_training.py).
+
+method='mae'      : OPERA-GT dims, img (256,64), patch 4, mask_ratio 0.7
+method='audiomae' : ViT-B dims, img (1024,128), patch 16, mask_ratio 0.7,
+                    decoder_depth 6 blocks config yet decoder_mode=1 builds 16
+                    swin blocks (mae_training.py:252-309); warm-start from
+                    pretrained.pth with strict load (:311-313).
+Checkpoints top-5 by valid_loss every 5 epochs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vit_mae import MaskedAutoencoderViT, audiomae_base_config, mae_vit_small_config
+from ..parallel.mesh import put_replicated, shard_batch
+from ..train.checkpoints import TopKCheckpointer
+from ..utils.logging import CSVLogger
+from . import steps
+from .data import MultiCorpusSampler, load_corpus
+
+
+def mae_train_multiple_data(
+    title: str,
+    data_source: Dict[str, int],
+    n_epoches: int = 150,
+    training_method: str = "mae",
+    pretrain: Optional[str] = None,
+    batch_size: int = 64,
+    lr: float = 1e-4,
+    seed: int = 42,
+    ckpt_root: str = "cks/model/combined",
+    log_dir: str = "cks/logs",
+    mesh=None,
+    corpora: Optional[list] = None,
+    manifest_fn=None,
+    verbose: bool = True,
+    config_override=None,
+):
+    if config_override is not None:
+        cfg = config_override
+    elif pretrain == "audiomae" or training_method == "audiomae":
+        cfg = audiomae_base_config(mask_ratio=0.7)
+    else:
+        cfg = mae_vit_small_config(mask_ratio=0.7)
+    model = MaskedAutoencoderViT(cfg)
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(
+        {"params": rng, "masking": rng}, jnp.zeros((1,) + cfg.img_size)
+    )
+    params = variables["params"]
+
+    if pretrain == "audiomae":
+        from ..extract import convert, registry
+
+        path = registry.get_audiomae_encoder_path("audiomae")
+        loaded = convert.load_converted(path, "mae")
+        params = registry._merge_trees(jax.device_get(params), loaded["params"])
+
+    if corpora is None:
+        corpora = [
+            load_corpus(
+                name,
+                max_len,
+                training_method,
+                manifest=manifest_fn(name) if manifest_fn else None,
+            )
+            for name, max_len in data_source.items()
+        ]
+    sampler = MultiCorpusSampler(corpora, batch_size, "mae", seed=seed)
+
+    tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
+    opt_state = tx.init(params)
+    train_step = steps.make_mae_train_step(model, tx)
+    eval_step = steps.make_mae_eval_step(model)
+
+    if mesh is not None:
+        params = put_replicated(params, mesh)
+        opt_state = put_replicated(opt_state, mesh)
+
+    ckpt = TopKCheckpointer(
+        dirpath=os.path.join(ckpt_root, "_".join(data_source.keys())),
+        filename_fmt="encoder-" + title + "-epoch={epoch:02d}--valid_acc={valid_acc:.2f}-valid_loss={valid_loss:.4f}.msgpack",
+        monitor="valid_loss",
+        mode="min",
+        save_top_k=5,
+        every_n_epochs=5,
+    )
+    logger = CSVLogger(os.path.join(log_dir, "combined"), title)
+
+    step_rng = jax.random.PRNGKey(seed + 1)
+    history = []
+    for epoch in range(n_epoches):
+        t0 = time.time()
+        tr = []
+        for _ in range(sampler.steps_per_epoch):
+            s, x = sampler.next_batch()
+            xb = jnp.asarray(x)
+            if mesh is not None:
+                xb = shard_batch(xb, mesh)
+            step_rng, k = jax.random.split(step_rng)
+            params, opt_state, loss = train_step(params, opt_state, xb, k)
+            tr.append(float(loss))
+        vl = []
+        for s, x in sampler.val_batches():
+            xb = jnp.asarray(x)
+            if mesh is not None:
+                xb = shard_batch(xb, mesh)
+            step_rng, k = jax.random.split(step_rng)
+            vl.append(float(eval_step(params, xb, k)))
+        valid_loss = float(np.mean(vl)) if vl else float("nan")
+        train_loss = float(np.mean(tr))
+        logger.log(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss)
+        history.append(dict(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss))
+        if verbose:
+            print(
+                f"[mae-cp {title}] epoch {epoch} train {train_loss:.4f} "
+                f"valid {valid_loss:.4f} ({time.time()-t0:.1f}s)"
+            )
+        ckpt.step(epoch, valid_loss, {"params": params}, valid_acc=0.0)
+    return {"params": params}, history, ckpt.best_path

@@ -1,0 +1,430 @@
+"""Fine-tuning harness (src/benchmark/other_eval/finetuning.py).
+
+Protocol (finetune_heart :880-1360):
+- inputs: cached first-window spectrograms per clip — mel (256,64)
+  'spectrogram_pad8.npy' for OPERA encoders, kaldi fbank (998,128)
+  'fbank_audiomae.npy' for Audio-MAE
+- model: encoder + linear/mlp head; loss = CE(+class weights)
+  + l2 * ||head||^2 + 0.2 * l2 * ||encoder||^2 (models_eval.py:437-451)
+- Adam lr, x0.99/epoch decay, grad clip 1.0, EarlyStopping on valid_auc
+  (patience 10, min_delta 0.001), best ckpt by valid_auc restored for test
+- optional SpecAugment on train batches (drop widths 40/8 opera, 100/20
+  audiomae; finetuning.py:964,1118)
+- freeze_encoder in {none, all, early} via optimizer masking
+
+TPU-first: spectrograms live on device; one jit'd scan per epoch; SpecAugment
+and drop-path run on device with explicit PRNG keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..audio import augment
+from ..models.heads import Head, freeze_mask_fn
+from ..models.htsat import HTSAT, HTSATConfig
+from ..models.vit_mae import (
+    AudioMAEClassifierBackbone,
+    MaskedAutoencoderViT,
+    audiomae_base_config,
+    mae_vit_small_config,
+)
+from ..models.efficientnet import ColaEfficientNetEncoder
+from . import metrics as M
+from .linear_eval import HEART_METRICS, _make_perms, get_class_weights
+
+
+class GTBackbone(nn.Module):
+    """OPERA-GT fine-tune backbone: MAE encoder forward_feature."""
+
+    config: object = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config or mae_vit_small_config()
+        return MaskedAutoencoderViT(cfg, name="mae").forward_feature(x)
+
+
+class EncoderClassifier(nn.Module):
+    """encoder + head (AudioClassifier, models_eval.py:320-411)."""
+
+    encoder_kind: str  # htsat | efficientnet | audiomae | gt
+    classes: int
+    head: str = "linear"
+    feat_dim: int = 768
+    htsat_config: Optional[HTSATConfig] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.encoder_kind == "htsat":
+            h = HTSAT(self.htsat_config or HTSATConfig(), name="encoder")(
+                x, train=train
+            )["latent_output"]
+        elif self.encoder_kind == "efficientnet":
+            h = ColaEfficientNetEncoder(name="encoder")(x, train=train)
+        elif self.encoder_kind == "audiomae":
+            h = AudioMAEClassifierBackbone(audiomae_base_config(), name="encoder")(
+                x, train=train
+            )
+        elif self.encoder_kind == "gt":
+            h = GTBackbone(name="encoder")(x, train=train)
+        else:
+            raise ValueError(self.encoder_kind)
+        return Head(self.classes, self.head, self.feat_dim, name="head")(h)
+
+
+@dataclasses.dataclass
+class FTResult:
+    test_auc: float
+    valid_auc: float
+    best_epoch: int
+    stopped_epoch: int
+    metrics: Dict[str, object]
+    variables: dict
+
+
+def _tree_l2(tree) -> jnp.ndarray:
+    return sum(jnp.sum(p**2) for p in jax.tree.leaves(tree))
+
+
+def finetune_classifier(
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    x_val: np.ndarray,
+    y_val: np.ndarray,
+    x_test: Optional[np.ndarray] = None,
+    y_test: Optional[np.ndarray] = None,
+    *,
+    encoder_kind: str = "htsat",
+    pretrained_encoder_params: Optional[dict] = None,
+    pretrained_batch_stats: Optional[dict] = None,
+    n_cls: int = 2,
+    head: str = "linear",
+    feat_dim: int = 768,
+    lr: float = 1e-4,
+    l2_strength: float = 1e-4,
+    epochs: int = 64,
+    batch_size: int = 64,
+    class_weights: Optional[np.ndarray] = None,
+    freeze_encoder: str = "none",
+    spec_augment: bool = False,
+    time_drop_width: int = 40,
+    freq_drop_width: int = 8,
+    patience: int = 10,
+    min_delta: float = 1e-3,
+    lr_decay: float = 0.99,
+    grad_clip: float = 1.0,
+    seed: int = 0,
+    metrics: Sequence[str] = HEART_METRICS,
+    dataset: Optional[str] = None,
+    task: Optional[str] = None,
+    annotations_test: Optional[np.ndarray] = None,
+    htsat_config: Optional[HTSATConfig] = None,
+) -> FTResult:
+    model = EncoderClassifier(
+        encoder_kind=encoder_kind,
+        classes=n_cls,
+        head=head,
+        feat_dim=feat_dim,
+        htsat_config=htsat_config,
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            {"params": jax.random.PRNGKey(seed), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((1,) + x_train.shape[1:]),
+        )
+    params = jax.device_get(variables["params"])
+    batch_stats = jax.device_get(variables.get("batch_stats", {}))
+
+    if pretrained_encoder_params is not None:
+        from ..extract.registry import _merge_trees
+
+        params["encoder"] = _merge_trees(
+            params.get("encoder", {}), jax.device_get(pretrained_encoder_params)
+        )
+        if pretrained_batch_stats:
+            batch_stats["encoder"] = _merge_trees(
+                batch_stats.get("encoder", {}), jax.device_get(pretrained_batch_stats)
+            )
+
+    nb = (len(x_train) + batch_size - 1) // batch_size
+    sched = lambda step: lr * lr_decay ** (step // nb)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(sched),
+    )
+    if freeze_encoder != "none":
+        pred = freeze_mask_fn(freeze_encoder)
+
+        def labels(params):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+            vals = [
+                "train"
+                if pred(tuple(str(getattr(k, "key", k)) for k in path))
+                else "freeze"
+                for path, _ in flat
+            ]
+            return jax.tree_util.tree_unflatten(treedef, vals)
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    opt_state = tx.init(params)
+
+    cw = (
+        jnp.asarray(class_weights)
+        if class_weights is not None
+        else jnp.ones((n_cls,), jnp.float32)
+    )
+    X = jnp.asarray(x_train)
+    Y = jnp.asarray(y_train.astype(np.int32))
+
+    has_bn = bool(jax.tree.leaves(batch_stats))
+
+    def loss_fn(params, batch_stats, xb, yb, valid, rng):
+        vars_in = {"params": params}
+        if has_bn:
+            vars_in["batch_stats"] = batch_stats
+        out = model.apply(
+            vars_in,
+            xb,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"] if has_bn else False,
+        )
+        logits, new_state = out if has_bn else (out, {})
+        logits = logits + 1e-10
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
+        w = cw[yb] * valid
+        loss = (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
+        loss = loss + l2_strength * _tree_l2(params["head"])
+        loss = loss + 0.2 * l2_strength * _tree_l2(params["encoder"])
+        return loss, new_state.get("batch_stats", batch_stats)
+
+    @jax.jit
+    def run_epoch(params, batch_stats, opt_state, perm_e, rng):
+        def step(carry, inp):
+            params, batch_stats, opt_state, rng = carry
+            idx = inp
+            rng, kd, ka = jax.random.split(rng, 3)
+            xb = X[jnp.maximum(idx, 0)]
+            yb = Y[jnp.maximum(idx, 0)]
+            valid = (idx >= 0).astype(jnp.float32)
+            if spec_augment:
+                keys = jax.random.split(ka, xb.shape[0])
+                xb = jax.vmap(
+                    lambda k, x: augment.spec_augment(
+                        k, x, time_drop_width, 2, freq_drop_width, 2
+                    )
+                )(keys, xb)
+            grads, new_bs = jax.grad(loss_fn, has_aux=True)(
+                params, batch_stats, xb, yb, valid, kd
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state, rng), 0.0
+
+        (params, batch_stats, opt_state, rng), _ = jax.lax.scan(
+            step, (params, batch_stats, opt_state, rng), perm_e
+        )
+        return params, batch_stats, opt_state
+
+    @jax.jit
+    def predict(params, batch_stats, x):
+        vars_in = {"params": params}
+        if has_bn:
+            vars_in["batch_stats"] = batch_stats
+        return jax.nn.softmax(model.apply(vars_in, x, train=False), axis=-1)
+
+    def predict_batched(params, batch_stats, x, bs=64):
+        outs = []
+        for i in range(0, len(x), bs):
+            chunk = np.asarray(x[i : i + bs])
+            if len(chunk) < bs:
+                pad = np.repeat(chunk[:1], bs - len(chunk), axis=0)
+                full = np.concatenate([chunk, pad], axis=0)
+                outs.append(np.asarray(predict(params, batch_stats, jnp.asarray(full)))[: len(chunk)])
+            else:
+                outs.append(np.asarray(predict(params, batch_stats, jnp.asarray(chunk))))
+        return np.concatenate(outs, axis=0)
+
+    rng_np = np.random.default_rng(seed)
+    perms = _make_perms(rng_np, len(x_train), batch_size, epochs)
+    rng = jax.random.PRNGKey(seed + 7)
+
+    best_auc, best_epoch = -1.0, -1
+    best = (params, batch_stats)
+    stopped = epochs - 1
+    wait = 0
+    for e in range(epochs):
+        rng, k = jax.random.split(rng)
+        params, batch_stats, opt_state = run_epoch(
+            params, batch_stats, opt_state, jnp.asarray(perms[e]), k
+        )
+        probs_v = predict_batched(params, batch_stats, x_val)
+        vauc = M.auroc(y_val, probs_v, n_cls, "macro")
+        if vauc > best_auc + (0 if best_epoch < 0 else 0):
+            pass
+        if vauc > best_auc:
+            best_auc, best_epoch, best = vauc, e, (params, batch_stats)
+        # EarlyStopping(min_delta=0.001, patience=10) on valid_auc
+        if e > 0 and vauc < best_auc + min_delta:
+            wait += 1
+            if wait >= patience:
+                stopped = e
+                break
+        else:
+            wait = 0
+
+    params, batch_stats = best
+    result_metrics: Dict[str, object] = {}
+    test_auc = float("nan")
+    if x_test is not None and len(x_test):
+        probs_t = predict_batched(params, batch_stats, x_test)
+        y_pred = probs_t.argmax(axis=1)
+        test_auc = M.auroc(y_test, probs_t, n_cls, "macro")
+        result_metrics = M.compute_metrics(
+            metrics, y_test, y_pred, probs_t, n_cls, dataset, task, annotations_test
+        )
+        result_metrics["test_auc"] = test_auc
+    return FTResult(
+        test_auc=test_auc,
+        valid_auc=best_auc,
+        best_epoch=best_epoch,
+        stopped_epoch=stopped,
+        metrics=result_metrics,
+        variables={"params": jax.device_get(params), "batch_stats": jax.device_get(batch_stats)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# feature-dir driver (finetune_heart :880-1360)
+# ---------------------------------------------------------------------------
+
+
+def build_ft_spectrogram_cache(feature_dir: str, pretrain: str) -> np.ndarray:
+    """Create/load the cached first-window inputs (finetuning.py:967-980,
+    1120-1138)."""
+    from ..audio import pipelines
+
+    if "audiomae" in pretrain:
+        cache = os.path.join(feature_dir, "fbank_audiomae.npy")
+        if not os.path.exists(cache):
+            files = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+            x = [
+                pipelines.get_split_signal_fbank_pad(str(f), input_sec=10)[0]
+                for f in files
+            ]
+            np.save(cache, np.asarray(x))
+        return np.load(cache)
+    cache = os.path.join(feature_dir, "spectrogram_pad8.npy")
+    if not os.path.exists(cache):
+        files = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+        x = [
+            pipelines.get_split_signal(str(f), input_sec=8.18, spectrogram=True)[0]
+            for f in files
+        ]
+        np.save(cache, np.asarray(x))
+    return np.load(cache)
+
+
+def finetune_heart(
+    seed: int,
+    pretrain: str = "operaCT",
+    l2_strength: float = 1e-4,
+    epochs: int = 64,
+    batch_size: int = 64,
+    lr: float = 1e-4,
+    head: str = "linear",
+    loss: str = "unweighted",
+    feat_dim: int = 768,
+    dataset_name: str = "circor",
+    task: str = "murmurs",
+    feature_dir: str = "feature/circor_eval/",
+    labels_filename: str = "murmurs.npy",
+    freeze_encoder: str = "none",
+    spec_augment: bool = False,
+    random_init: bool = False,
+    ckpt_path: Optional[str] = None,
+) -> FTResult:
+    y_label = np.load(os.path.join(feature_dir, labels_filename))
+    y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
+    valid = ~np.isnan(np.asarray(y_label, np.float64))
+    y_label = y_label[valid].astype(np.int32)
+    y_set = np.asarray(y_set)[valid]
+    n_cls = len(set(y_label.tolist()))
+
+    x_data = build_ft_spectrogram_cache(feature_dir, pretrain)[valid]
+
+    if "audiomae" in pretrain:
+        encoder_kind, feat_dim = "audiomae", 768
+        batch_size = 32
+        tdw, fdw = 100, 20
+    elif "GT" in pretrain or pretrain == "operaGT":
+        encoder_kind, feat_dim = "gt", 384
+        tdw, fdw = 40, 8
+    elif "operaCE" in pretrain or pretrain == "null":
+        encoder_kind, feat_dim = "efficientnet", 1280
+        tdw, fdw = 40, 8
+    else:
+        encoder_kind, feat_dim = "htsat", 768
+        tdw, fdw = 40, 8
+
+    enc_params = enc_stats = None
+    if not random_init and pretrain not in ("null",):
+        from ..extract import registry
+
+        _, loaded = registry.initialize_pretrained_model(pretrain, ckpt_path=ckpt_path)
+        if encoder_kind in ("htsat", "efficientnet"):
+            enc_params = loaded["params"]["encoder"]
+            enc_stats = loaded.get("batch_stats", {}).get("encoder")
+        elif encoder_kind == "gt":
+            enc_params = {"mae": loaded["params"]}
+        else:
+            enc_params = loaded["params"]
+
+    tr, va, te = y_set == "train", y_set == "val", y_set == "test"
+    cw = get_class_weights(y_label[tr], n_cls) if loss == "weighted" else None
+    ann = None
+    if dataset_name == "physionet16":
+        ann_all = np.load(os.path.join(feature_dir, "annotations.npy")).astype(np.int32)
+        ann = ann_all[valid][te]
+
+    return finetune_classifier(
+        x_data[tr],
+        y_label[tr],
+        x_data[va],
+        y_label[va],
+        x_data[te],
+        y_label[te],
+        encoder_kind=encoder_kind,
+        pretrained_encoder_params=enc_params,
+        pretrained_batch_stats=enc_stats,
+        n_cls=n_cls,
+        head=head,
+        feat_dim=feat_dim,
+        lr=lr,
+        l2_strength=l2_strength,
+        epochs=epochs,
+        batch_size=batch_size,
+        class_weights=cw,
+        freeze_encoder=freeze_encoder,
+        spec_augment=spec_augment,
+        time_drop_width=tdw,
+        freq_drop_width=fdw,
+        seed=seed,
+        dataset=dataset_name,
+        task=task,
+        annotations_test=ann,
+    )
