@@ -15,3 +15,20 @@ Layer map (mirrors reference SURVEY.md §1, re-designed TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: every CLI entry point is its own process,
+# and first-compiles through a remote-compile TPU link cost 30-120 s; caching
+# makes repeat invocations (sweeps, 5-seed protocols, shell pipelines) cheap.
+import os as _os
+
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/hmdt/xla_cache"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -69,4 +69,6 @@ def resolve(name: str, argv: List[str], config_dir: Optional[str] = None) -> Ite
     for c in combos:
         cfg = dict(base)
         cfg.update(c)
-        yield cfg
+        # yaml parses a bare `None` as the string "None"; normalize (the
+        # reference also string-compares 'None', circor_processing.py:303-308)
+        yield {k: (None if v == "None" else v) for k, v in cfg.items()}

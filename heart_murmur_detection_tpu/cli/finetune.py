@@ -1,0 +1,46 @@
+"""Fine-tuning CLI (src/benchmark/other_eval/finetuning.py main, :1363-1499)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..train.finetune import finetune_heart
+from .config import resolve
+from .linear_eval import route_heart_task
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    for cfg in resolve("finetune_config", argv):
+        ds, task, fdir, labels = route_heart_task(cfg["task"])
+        scores = []
+        for seed in range(cfg["n_run"]):
+            res = finetune_heart(
+                seed=seed,
+                pretrain=cfg["pretrain"],
+                epochs=64,
+                l2_strength=cfg["l2_strength"],
+                feat_dim=cfg["dim"],
+                dataset_name=ds,
+                task=task,
+                feature_dir=fdir,
+                labels_filename=labels,
+                freeze_encoder=cfg["freeze_encoder"],
+                loss=cfg["loss"],
+                spec_augment=cfg["spec_augment"],
+            )
+            print(f"seed {seed}: test_auc {res.test_auc:.4f} (best epoch {res.best_epoch})")
+            scores.append(res.test_auc)
+        print("=" * 48)
+        print(scores)
+        print(
+            f"Five times mean task {cfg['task']} finetuning from {cfg['pretrain']} "
+            f"results: auc mean {np.mean(scores):.3f} ± {np.std(scores):.3f}"
+        )
+        print("=" * 48)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Continued-pretraining CLI (src/pretrain/{cola,mae}_training.py mains).
+
+Usage:
+  python -m heart_murmur_detection_tpu.cli.pretrain circor=True physionet16=True \\
+      encoder=htsat pretrain=operaCT title=operaCT-heart-all epoches=250 method=cola
+  python -m heart_murmur_detection_tpu.cli.pretrain method=audiomae pretrain=audiomae ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..pretrain.cola_training import train_multiple_data
+from ..pretrain.data import OPTIMAL_MAX_LEN_COLA, OPTIMAL_MAX_LEN_MAE
+from ..pretrain.mae_training import mae_train_multiple_data
+from .config import resolve
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    for cfg in resolve("pretrain_config", argv):
+        method = cfg.get("method", "cola")
+        if method == "cola":
+            max_lens = OPTIMAL_MAX_LEN_COLA
+        elif method == "mae":
+            max_lens = OPTIMAL_MAX_LEN_MAE
+        else:  # audiomae
+            max_lens = {k: 1024 for k in (
+                "circor", "pascal_A", "pascal_B", "physionet16",
+                "zchsound_clean", "zchsound_noisy",
+            )}
+        data_source = {dt: ml for dt, ml in max_lens.items() if cfg.get(dt) is True}
+        if not data_source:
+            raise SystemExit("no corpora enabled (set e.g. circor=True)")
+        if method == "cola":
+            train_multiple_data(
+                cfg["title"],
+                data_source=data_source,
+                dim_hidden=cfg.get("dim_hidden", 1280),
+                dim_out=cfg.get("dim_out", 512),
+                encoder=cfg.get("encoder", "efficientnet"),
+                n_epoches=cfg.get("epoches", 512),
+                pretrain=cfg.get("pretrain"),
+                freeze_encoder=cfg.get("freeze_encoder", "none"),
+                seed=cfg.get("seed", 42),
+            )
+        else:
+            mae_train_multiple_data(
+                cfg["title"],
+                data_source=data_source,
+                n_epoches=cfg.get("epoches", 512),
+                training_method=method,
+                pretrain=cfg.get("pretrain"),
+                seed=cfg.get("seed", 42),
+            )
+
+
+if __name__ == "__main__":
+    main()
