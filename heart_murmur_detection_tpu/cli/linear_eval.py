@@ -49,10 +49,86 @@ def feature_name(cfg) -> str:
     return feature
 
 
+LEGACY_TASKS = {
+    "covid19sounds", "icbhidisease", "kauh", "coswarasmoker", "coswarasex",
+    "copd", "coughvidcovid", "coughvidsex", "coviduk", "snoring",
+}
+
+
+def run_legacy(cfg, feature, seed):
+    """Task routing for the legacy OPERA tasks (linear_eval.py:1798-1893)."""
+    from ..train import legacy_tasks as lt
+
+    t = cfg["task"]
+    if t == "covid19sounds":
+        return lt.linear_evaluation_covid19sounds(
+            1, feature, modality=cfg["modality"], l2_strength=cfg["l2_strength"],
+            lr=cfg["lr"], head=cfg["head"], seed=seed)
+    if t == "icbhidisease":
+        return lt.linear_evaluation_icbhidisease(
+            use_feature=feature, epochs=64, batch_size=32,
+            l2_strength=cfg["l2_strength"], lr=cfg["lr"], head=cfg["head"], seed=seed)
+    if t == "kauh":
+        return lt.linear_evaluation_kauh(
+            use_feature=feature, epochs=50, batch_size=32,
+            l2_strength=cfg["l2_strength"], lr=cfg["lr"], head=cfg["head"], seed=seed)
+    if t in ("coswarasmoker", "coswarasex"):
+        return lt.linear_evaluation_coswara(
+            use_feature=feature, epochs=64, l2_strength=cfg["l2_strength"],
+            batch_size=32, lr=cfg["lr"], modality=cfg["modality"],
+            label=t.removeprefix("coswara"), head=cfg["head"], seed=seed)
+    if t == "copd":
+        return lt.linear_evaluation_copd(
+            use_feature=feature, l2_strength=cfg["l2_strength"], lr=cfg["lr"],
+            head=cfg["head"], epochs=64, seed=seed)
+    if t in ("coughvidcovid", "coughvidsex"):
+        return lt.linear_evaluation_coughvid(
+            use_feature=feature, epochs=64, l2_strength=cfg["l2_strength"],
+            lr=cfg["lr"], batch_size=64,
+            label="covid" if t.endswith("covid") else "gender",
+            head=cfg["head"], seed=seed)
+    if t == "coviduk":
+        return lt.linear_evaluation_coviduk(
+            use_feature=feature, epochs=64, l2_strength=cfg["l2_strength"],
+            lr=cfg["lr"], batch_size=64, modality=cfg["modality"],
+            head=cfg["head"], seed=seed)
+    if t == "snoring":
+        return lt.linear_evaluation_ssbpr(
+            use_feature=feature, l2_strength=cfg["l2_strength"], lr=cfg["lr"],
+            head=cfg["head"], epochs=32, seed=seed)
+    raise SystemExit(f"unknown legacy task {t}")
+
+
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     for cfg in resolve("linear_eval_config", argv):
         feature = feature_name(cfg)
+        if cfg.get("LOOCV"):
+            from ..train import legacy_tasks as lt
+
+            if cfg["task"] == "spirometry":
+                maes, mapes = lt.linear_evaluation_mmlung(
+                    use_feature=feature, l2_strength=1e-1, epochs=64, lr=1e-1,
+                    batch_size=64, modality=cfg["modality"], label=cfg["label"],
+                    head=cfg["head"])
+            elif cfg["task"] == "rr":
+                maes, mapes = lt.linear_evaluation_nosemic(
+                    use_feature=feature, l2_strength=1e-1, epochs=64,
+                    batch_size=64, lr=1e-4, head=cfg["head"])
+            else:
+                raise SystemExit(f"unknown LOOCV task {cfg['task']}")
+            print(f"MAE mean {np.mean(maes):.3f} ± {np.std(maes):.3f}")
+            print(f"MAPE mean {np.mean(mapes):.3f} ± {np.std(mapes):.3f}")
+            continue
+        if cfg["task"] in LEGACY_TASKS:
+            scores = [run_legacy(cfg, feature, seed) for seed in range(cfg["n_run"])]
+            print("=" * 48)
+            print(scores)
+            print(
+                f"Five times mean task {cfg['task']} feature {feature} results: "
+                f"auc mean {np.mean(scores):.3f} ± {np.std(scores):.3f}"
+            )
+            continue
         ds, task, fdir, labels = route_heart_task(cfg["task"])
         if cfg.get("grid_search"):
             best = (-1, None)

@@ -306,6 +306,105 @@ def linear_evaluation_heart_cv(
     return scores
 
 
+def train_regression_head(
+    x_train,
+    y_train,
+    x_val,
+    y_val,
+    x_test,
+    y_test,
+    *,
+    head: str = "mlp",
+    lr: float = 1e-4,
+    l2_strength: float = 1e-1,
+    epochs: int = 64,
+    batch_size: int = 64,
+    lr_decay: float = 0.97,
+    grad_clip: float = 1.0,
+    seed: int = 0,
+    patience: Optional[int] = None,
+    min_delta: float = 1e-3,
+):
+    """Regression LP (LinearHeadR, models_eval.py:1691-1831): MSE on
+    denormalized output (head(x)*std + mean), best/early-stop on valid MAE.
+    Returns (test MAE, test MAPE)."""
+    import flax.linen as nn
+
+    feat_dim = x_train.shape[1]
+    mean = float(np.mean(y_train))
+    std = float(np.std(y_train))
+
+    class RHead(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            init = nn.initializers.normal(0.01)
+            if head == "linear":
+                y = nn.Dense(1, kernel_init=init)(x)
+            else:
+                h = nn.relu(nn.Dense(feat_dim, kernel_init=init)(x))
+                y = nn.Dense(1, kernel_init=init)(h)
+            return y * std + mean
+
+    model = RHead()
+    params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, feat_dim)))["params"]
+    nb = (len(x_train) + batch_size - 1) // batch_size
+    sched = lambda step: lr * lr_decay ** (step // nb)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(sched),
+    )
+    opt_state = tx.init(params)
+    X, Y = jnp.asarray(x_train), jnp.asarray(y_train.reshape(-1, 1))
+
+    def loss_fn(p, xb, yb, valid):
+        pred = model.apply({"params": p}, xb) + 1e-10
+        se = ((pred - yb) ** 2).squeeze(-1)
+        loss = (se * valid).sum() / jnp.maximum(valid.sum(), 1e-12)
+        l2 = sum(jnp.sum(q**2) for q in jax.tree.leaves(p))
+        return loss + l2_strength * l2
+
+    @jax.jit
+    def run_epoch(params, opt_state, perm_e):
+        def step(carry, idx):
+            params, opt_state = carry
+            xb = X[jnp.maximum(idx, 0)]
+            yb = Y[jnp.maximum(idx, 0)]
+            valid = (idx >= 0).astype(jnp.float32)
+            grads = jax.grad(loss_fn)(params, xb, yb, valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), 0.0
+
+        (params, opt_state), _ = jax.lax.scan(step, (params, opt_state), perm_e)
+        return params, opt_state
+
+    @jax.jit
+    def predict(p, x):
+        return model.apply({"params": p}, x)
+
+    rng = np.random.default_rng(seed)
+    perms = _make_perms(rng, len(x_train), batch_size, epochs)
+    best_mae, best_params, wait = np.inf, params, 0
+    for e in range(epochs):
+        params, opt_state = run_epoch(params, opt_state, jnp.asarray(perms[e]))
+        pv = np.asarray(predict(params, jnp.asarray(x_val))).ravel()
+        mae = float(np.mean(np.abs(pv - np.asarray(y_val).ravel())))
+        if mae < best_mae:
+            best_mae, best_params = mae, params
+        if patience is not None:
+            if e > 0 and mae > best_mae - min_delta:
+                wait += 1
+                if wait >= patience:
+                    break
+            else:
+                wait = 0
+    pt = np.asarray(predict(best_params, jnp.asarray(x_test))).ravel()
+    yt = np.asarray(y_test).ravel()
+    test_mae = float(np.mean(np.abs(pt - yt)))
+    test_mape = float(np.mean(np.abs((pt - yt) / yt)))
+    return test_mae, test_mape
+
+
 def run_seeds(fn, n_run: int = 5, **kw):
     """The 5-seed mean±std protocol (linear_eval.py:1790-1957)."""
     scores = []
