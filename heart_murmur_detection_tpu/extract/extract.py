@@ -122,6 +122,10 @@ class FeatureExtractor:
 
     # whole-clip models (operaCT / operaCE)
     def _extract_whole(self, paths) -> np.ndarray:
+        from ..utils import native
+
+        if self.max_sec and native.native_available():
+            return self._extract_whole_native(paths)
         clips = [self._clip_waveform(p) for p in paths]
         max_len = (
             int((self.max_sec or max(len(c) / SR for c in clips)) * SR)
@@ -129,6 +133,40 @@ class FeatureExtractor:
             else 0
         )
         return self.extract_waveforms(clips, max_len=max_len)
+
+    def _extract_whole_native(self, paths) -> np.ndarray:
+        """C++ decode/trim/pad on worker threads overlapped with device
+        compute (utils/native.PrefetchLoader)."""
+        from ..utils import native
+
+        max_len = ((int(self.max_sec * SR) + 511) // 512) * 512
+        min_len = int(self.input_sec * SR)
+
+        def _load(p):
+            try:
+                return native.load_clip(p, max_len, min_len, self.pad0, SR)
+            except (ValueError, IOError):
+                # non-16k / non-wav: python decode+resample fallback
+                w = self._clip_waveform(p)
+                buf = np.zeros(max_len, np.float32)
+                m = min(len(w), max_len)
+                buf[:m] = w[:m]
+                return buf, m
+
+        loader = native.PrefetchLoader(
+            list(paths),
+            batch_size=self.batch_size,
+            max_len=max_len,
+            min_len=min_len,
+            pad_zero=self.pad0,
+            sr=SR,
+            loader=_load,
+        )
+        out = np.zeros((len(paths), self.dim), np.float32)
+        for lo, k, wav, lengths in loader:
+            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
+            out[lo : lo + k] = f[:k]
+        return out
 
     def extract_waveforms(
         self, clips: List[np.ndarray], max_len: Optional[int] = None
