@@ -12,6 +12,7 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -28,7 +29,7 @@ def main():
 
     SR = 16000
     CLIP_SEC = 10.0
-    N_CLIPS = 256
+    N_CLIPS = int(os.environ.get("HMDT_BENCH_CLIPS", 128))
     BATCH = 64
 
     r = np.random.default_rng(0)
@@ -71,7 +72,7 @@ def main():
     np.asarray(
         encoder_one(jnp.asarray(mel0[None]), jnp.asarray([mel0.shape[0]], np.int32))
     )  # compile
-    n_base = 16
+    n_base = int(os.environ.get("HMDT_BENCH_BASE_CLIPS", 8))
     t0 = time.time()
     for c in clips[:n_base]:
         m = ref.pre_process_audio_mel_t(c, f_max=8000)
