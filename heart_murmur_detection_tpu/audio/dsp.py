@@ -146,6 +146,42 @@ def mel_frontend(
     return out.astype(jnp.float32), n_frames
 
 
+def logmel_frontend_general(
+    wav: jnp.ndarray,
+    lengths: jnp.ndarray,
+    sr: int = 44100,
+    n_mels: int = 64,
+    fmin: float = 50.0,
+    fmax: float = 14000.0,
+    n_fft: int = 1024,
+    hop: int = 320,
+    pad_mode: str = "reflect",
+    amin: float = 1e-10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torchlibrosa-semantics log-mel (Spectrogram center=True reflect +
+    LogmelFilterBank ref=1.0, amin=1e-10, top_db=None — htsat.py:582-602,
+    msclap models/audio.py). Arbitrary hop via conv patches. Returns
+    (B, Tmax, n_mels) log10-scaled by 10, invalid frames zeroed, + counts."""
+    B, Nmax = wav.shape
+    pad = n_fft // 2
+    x = jnp.pad(wav, ((0, 0), (pad, pad)), mode=pad_mode)
+    Tmax = Nmax // hop + 1
+    patches = jax.lax.conv_general_dilated_patches(
+        x[:, None, :], (n_fft,), (hop,), "VALID"
+    )  # (B, n_fft, T')
+    frames = jnp.transpose(patches, (0, 2, 1))[:, :Tmax].astype(jnp.float32)
+    cos, sin = _dft_bases(n_fft, "hann_periodic")
+    re = jnp.matmul(frames, jnp.asarray(cos), precision=HIGH)
+    im = jnp.matmul(frames, jnp.asarray(sin), precision=HIGH)
+    power = re * re + im * im
+    fb = jnp.asarray(_mel_fb(sr, n_fft, n_mels, fmin, fmax))
+    mel = jnp.matmul(power, fb, precision=HIGH)
+    logmel = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+    n_frames = (lengths // hop + 1).astype(jnp.int32)
+    valid = jnp.arange(Tmax)[None, :] < n_frames[:, None]
+    return jnp.where(valid[:, :, None], logmel, 0.0), n_frames
+
+
 # ---------------------------------------------------------------------------
 # Kaldi fbank frontend (Audio-MAE path)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,128 @@
+"""HeAR mel-PCEN frontend in JAX (hear/python/data_processing/audio_utils.py
+:365-476): 2 s @16 kHz clip -> min-max to [-1,1] -> STFT (frame 400, fft 400,
+hop 160, periodic hann, pad_end, NO center pad) -> power -> TF
+linear_to_mel_weight_matrix (HTK mel, 128 bins, 0-8000 Hz, DC bin zeroed) ->
+PCEN (alpha .8, s .04, delta 2, root 2, floor 1e-8, EMA seeded with frame 0)
+-> bilinear resize (align_corners=False) to (192, 128)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_SAMPLES = 32000
+FRAME = 400
+HOP = 160
+N_BINS = FRAME // 2 + 1  # 201
+
+
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+@functools.lru_cache(maxsize=None)
+def tf_mel_matrix(
+    num_mel_bins: int = 128,
+    num_spectrogram_bins: int = N_BINS,
+    sample_rate: float = 16000.0,
+    lower_edge_hertz: float = 0.0,
+    upper_edge_hertz: float = 8000.0,
+) -> np.ndarray:
+    """tf.signal.linear_to_mel_weight_matrix semantics (audio_utils.py:256-363)."""
+    nyq = sample_rate / 2.0
+    freqs = np.linspace(0.0, nyq, num_spectrogram_bins)[1:]  # DC bin excluded
+    spec_mel = _hz_to_mel_htk(freqs)
+    edges = np.linspace(
+        _hz_to_mel_htk(lower_edge_hertz),
+        _hz_to_mel_htk(upper_edge_hertz),
+        num_mel_bins + 2,
+    )
+    lower = edges[:-2][None, :]
+    center = edges[1:-1][None, :]
+    upper = edges[2:][None, :]
+    up = (spec_mel[:, None] - lower) / (center - lower)
+    down = (upper - spec_mel[:, None]) / (upper - center)
+    w = np.maximum(0.0, np.minimum(up, down))
+    out = np.zeros((num_spectrogram_bins, num_mel_bins), np.float32)
+    out[1:] = w
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _dft(frame: int):
+    k = np.arange(frame // 2 + 1)
+    n = np.arange(frame)
+    ang = 2 * np.pi * np.outer(n, k) / frame
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * n / frame)  # periodic hann
+    return (
+        (np.cos(ang) * w[:, None]).astype(np.float32),
+        (-np.sin(ang) * w[:, None]).astype(np.float32),
+    )
+
+
+def pcen(
+    E: jnp.ndarray,
+    alpha: float = 0.8,
+    s: float = 0.04,
+    delta: float = 2.0,
+    root: float = 2.0,
+    floor: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-channel energy normalisation over time axis 1. E: (B, T, F)."""
+
+    def step(m, e):
+        m = (1.0 - s) * m + s * e
+        return m, m
+
+    m0 = E[:, 0]
+    _, M = jax.lax.scan(step, m0, jnp.swapaxes(E, 0, 1))
+    M = jnp.swapaxes(M, 0, 1)
+    r = 1.0 / root
+    return (E / (floor + M) ** alpha + delta) ** r - delta**r
+
+
+def resize_bilinear_tf(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """tf.image.resize bilinear (align_corners=False, half-pixel). x: (B,H,W)."""
+    B, H, W = x.shape
+
+    def axis_weights(n_in, n_out):
+        pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(np.int32)
+        i1 = np.clip(i0 + 1, 0, n_in - 1)
+        frac = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+        return i0, i1, frac
+
+    h0, h1, hf = axis_weights(H, out_h)
+    w0, w1, wf = axis_weights(W, out_w)
+    top = x[:, h0][:, :, w0] * (1 - wf)[None, None, :] + x[:, h0][:, :, w1] * wf[None, None, :]
+    bot = x[:, h1][:, :, w0] * (1 - wf)[None, None, :] + x[:, h1][:, :, w1] * wf[None, None, :]
+    return top * (1 - hf)[None, :, None] + bot * hf[None, :, None]
+
+
+def hear_preprocess(audio: jnp.ndarray) -> jnp.ndarray:
+    """(B, 32000) waveform -> (B, 192, 128) mel-PCEN (audio_utils.preprocess_audio)."""
+    B, N = audio.shape
+    if N < N_SAMPLES:
+        audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - N)))
+    x = audio.astype(jnp.float32)
+    x = x - jnp.min(x, axis=1, keepdims=True)
+    x = x / (jnp.max(x, axis=1, keepdims=True) + 1e-8)
+    x = x * 2.0 - 1.0
+
+    # pad_end framing: n_frames = ceil(N / hop)
+    n_frames = -(-N_SAMPLES // HOP)
+    padded = (n_frames - 1) * HOP + FRAME
+    x = jnp.pad(x, ((0, 0), (0, padded - N_SAMPLES)))
+    patches = jax.lax.conv_general_dilated_patches(x[:, None, :], (FRAME,), (HOP,), "VALID")
+    frames = jnp.transpose(patches, (0, 2, 1))  # (B, n_frames, FRAME)
+    cos, sin = _dft(FRAME)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(frames, jnp.asarray(cos), precision=hi)
+    im = jnp.matmul(frames, jnp.asarray(sin), precision=hi)
+    power = re * re + im * im
+    mel = jnp.matmul(power, jnp.asarray(tf_mel_matrix()), precision=hi)
+    out = pcen(mel)  # (B, 200, 128)
+    return resize_bilinear_tf(out, 192, 128)

@@ -36,28 +36,6 @@ class Head(nn.Module):
         raise NotImplementedError(self.head)
 
 
-class Classifier(nn.Module):
-    """Encoder + head. encoder_apply maps (mel, train) -> (B, feat_dim)."""
-
-    encoder: nn.Module
-    classes: int
-    head: str = "linear"
-    feat_dim: int = 768
-    encoder_kwargs: Optional[dict] = None
-
-    def encode(self, x, train: bool = False):
-        kw = dict(self.encoder_kwargs or {})
-        out = self.encoder(x, train=train, **kw)
-        if isinstance(out, dict):  # HTSAT returns a dict
-            out = out["latent_output"]
-        return out
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = self.encode(x, train)
-        return Head(self.classes, self.head, self.feat_dim, name="head")(h)
-
-
 def freeze_mask_fn(freeze_encoder: str, encoder_name: str = "encoder") -> Callable:
     """Returns path-predicate(path)->trainable for optax.masked, replicating
     models_eval.py:341-374 name matching."""

@@ -257,6 +257,33 @@ class PatchEmbed(nn.Module):
         return nn.LayerNorm(name="norm")(x), (Hp, Wp)
 
 
+def htsat_forward_long(
+    model: "HTSAT",
+    variables,
+    mel: jnp.ndarray,
+    crop_size: int = 1024,
+    overlap: int = 512,
+):
+    """Sliding-window inference for clips longer than freq_ratio*spec_size
+    frames (htsat.py:939-979): crops of `crop_size` frames every `overlap`
+    frames, outputs averaged over crops. One jittable lax.map over static crop
+    positions (the reference loops in python per clip).
+
+    mel: (B, T, F) with T > crop_size. Returns averaged output dict.
+    """
+    B, T, F = mel.shape
+    starts = np.arange(0, T - crop_size - 1, overlap)
+    if len(starts) == 0:
+        return model.apply(variables, mel)
+
+    def one(start):
+        crop = jax.lax.dynamic_slice_in_dim(mel, start, crop_size, axis=1)
+        return model.apply(variables, crop)
+
+    outs = jax.lax.map(one, jnp.asarray(starts, jnp.int32))
+    return jax.tree.map(lambda x: x.mean(axis=0), outs)
+
+
 class HTSAT(nn.Module):
     """Returns dict with latent_output (B, 768) [+ clipwise/framewise if tscam]."""
 

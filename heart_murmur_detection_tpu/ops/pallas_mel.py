@@ -54,10 +54,11 @@ def _bases(n_fft: int, sr: int, n_mels: int, fmin: float, fmax: float):
 def _kernel(a_ref, b_ref, cos_ref, sin_ref, fb_ref, out_ref, *, tile, hop, n_fft):
     # frame i = chunk i ++ chunk i+1; a/b are the two aligned chunk streams
     frames = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # (TILE, n_fft)
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST  # fp32-accurate MXU passes, parity with dsp
+    re = jnp.dot(frames, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], precision=hi, preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 

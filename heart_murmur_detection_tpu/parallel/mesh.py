@@ -37,30 +37,11 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def make_data_parallel_step(
-    step_fn: Callable,
-    mesh: Mesh,
-    axis_name: str = "data",
-    batch_arg_indices: Sequence[int] = (2,),
-    donate_argnums: Sequence[int] = (),
-):
-    """jit `step_fn(params, opt_state, batch, ...)` with params/opt replicated
-    and batch args sharded on the leading dim. XLA inserts the gradient psum
-    over ICI automatically from the sharding constraint."""
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis_name))
-
-    def in_sharding_for(i):
-        return shard if i in batch_arg_indices else repl
-
-    # rely on jit's sharding propagation: annotate via in_shardings lists at
-    # call sites instead when argument structure is complex.
-    return jax.jit(
-        step_fn,
-        in_shardings=None,
-        out_shardings=None,
-        donate_argnums=tuple(donate_argnums),
-    )
+def make_data_parallel_step(step_fn: Callable, donate_argnums: Sequence[int] = ()):
+    """jit a training step for data-parallel execution: callers place params
+    via put_replicated and batches via shard_batch; GSPMD propagates the
+    shardings and inserts the gradient psum over ICI."""
+    return jax.jit(step_fn, donate_argnums=tuple(donate_argnums))
 
 
 def put_replicated(tree, mesh: Mesh):
