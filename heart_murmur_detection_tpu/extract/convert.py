@@ -261,6 +261,82 @@ def convert_audiomae_backbone(sd: Dict[str, np.ndarray], depth: int = 12) -> dic
 
 
 # ---------------------------------------------------------------------------
+# CLAP audio tower (msclap 2022 Cnn14 / 2023 HTSAT)
+# ---------------------------------------------------------------------------
+
+
+def convert_clap_audio(sd: Dict[str, np.ndarray], version: str = "2023") -> dict:
+    """msclap checkpoint -> variables for models.clap.CLAPAudioEncoder.
+
+    Torch keys: [clap.]audio_encoder.base.(htsat.*|cnn14 blocks), and
+    audio_encoder.projection.{linear1,linear2,layer_norm}."""
+    # normalize prefix
+    pref = None
+    for cand in ("clap.audio_encoder.", "audio_encoder.", "model.audio_encoder."):
+        if any(k.startswith(cand) for k in sd):
+            pref = cand
+            break
+    if pref is None:
+        raise KeyError("no audio_encoder subtree in CLAP checkpoint")
+    sub = {k[len(pref):]: v for k, v in sd.items() if k.startswith(pref)}
+
+    params: dict = {}
+    stats: dict = {}
+    if version == "2023":
+        enc_params, enc_stats = convert_htsat(sub, "base.htsat.")
+        params["base"] = enc_params
+        stats["base"] = enc_stats
+    else:  # Cnn14
+        b = "base."
+        _bn(sub, b + "bn0", params, stats, ("base", "bn0"))
+        for i in range(1, 7):
+            for j in (1, 2):
+                _conv(sub, f"{b}conv_block{i}.conv{j}", params,
+                      ("base", f"conv_block{i}", f"conv{j}"))
+                _bn(sub, f"{b}conv_block{i}.bn{j}", params, stats,
+                    ("base", f"conv_block{i}", f"bn{j}"))
+        _linear(sub, b + "fc1", params, ("base", "fc1"))
+        _linear(sub, b + "fc_audioset", params, ("base", "fc_audioset"))
+    _linear(sub, "projection.linear1", params, ("projection", "linear1"), bias=False)
+    _linear(sub, "projection.linear2", params, ("projection", "linear2"), bias=False)
+    _ln(sub, "projection.layer_norm", params, ("projection", "layer_norm"))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_hear_vit(sd: Dict[str, np.ndarray], depth: int = 24) -> dict:
+    """HF google/hear-pytorch ViTModel state_dict -> models.hear.HeAREncoder.
+
+    HF key layout: embeddings.{cls_token,position_embeddings,
+    patch_embeddings.projection.*}, encoder.layer.{i}.{attention.attention.
+    {query,key,value}, attention.output.dense, intermediate.dense,
+    output.dense, layernorm_before/after}, layernorm.*, pooler.dense.*"""
+    params: dict = {}
+    params["cls_token"] = sd["embeddings.cls_token"]
+    params["pos_embed"] = sd["embeddings.position_embeddings"]
+    _conv(sd, "embeddings.patch_embeddings.projection", params, ("patch_embed_proj",))
+    for i in range(depth):
+        tp = f"encoder.layer.{i}."
+        fp = f"blocks_{i}"
+        _ln(sd, tp + "layernorm_before", params, (fp, "norm1"))
+        q = sd[tp + "attention.attention.query.weight"]
+        k = sd[tp + "attention.attention.key.weight"]
+        v = sd[tp + "attention.attention.value.weight"]
+        qb = sd[tp + "attention.attention.query.bias"]
+        kb = sd[tp + "attention.attention.key.bias"]
+        vb = sd[tp + "attention.attention.value.bias"]
+        _set(params, (fp, "attn_qkv", "kernel"), np.concatenate([q, k, v], 0).T)
+        _set(params, (fp, "attn_qkv", "bias"), np.concatenate([qb, kb, vb], 0))
+        _linear(sd, tp + "attention.output.dense", params, (fp, "attn_proj"))
+        _ln(sd, tp + "layernorm_after", params, (fp, "norm2"))
+        _linear(sd, tp + "intermediate.dense", params, (fp, "mlp_fc1"))
+        _linear(sd, tp + "output.dense", params, (fp, "mlp_fc2"))
+    _ln(sd, "layernorm", params, ("norm",))
+    if "pooler.dense.weight" in sd:
+        _linear(sd, "pooler.dense", params, ("pooler",))
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
 # cached load
 # ---------------------------------------------------------------------------
 
@@ -270,6 +346,9 @@ _CONVERTERS = {
     "operaGT": convert_mae,
     "audiomae": convert_audiomae_backbone,
     "mae": convert_mae,
+    "clap2022": lambda sd: convert_clap_audio(sd, "2022"),
+    "clap2023": lambda sd: convert_clap_audio(sd, "2023"),
+    "hear": convert_hear_vit,
 }
 
 

@@ -77,6 +77,20 @@ class EncoderClassifier(nn.Module):
             )
         elif self.encoder_kind == "gt":
             h = GTBackbone(name="encoder")(x, train=train)
+        elif self.encoder_kind in ("clap", "clap2023"):
+            # raw 44.1kHz clips (B, N); AudioClassifierCLAP (models_eval.py:851)
+            from ..models.clap import CLAPAudioEncoder, CLAPConfig
+
+            version = "2023" if self.encoder_kind == "clap2023" else "2022"
+            lens = jnp.full((x.shape[0],), x.shape[1], jnp.int32)
+            h = CLAPAudioEncoder(CLAPConfig(version=version), name="encoder")(
+                x, lens, train=train
+            )
+        elif self.encoder_kind == "hear":
+            # raw 2s 16kHz clips; AudioClassifierHeAR (models_eval.py:1211)
+            from ..models.hear import HeAREncoder
+
+            h = HeAREncoder(name="encoder")(x, train=train)["cls"]
         else:
             raise ValueError(self.encoder_kind)
         return Head(self.classes, self.head, self.feat_dim, name="head")(h)
@@ -328,6 +342,33 @@ def build_ft_spectrogram_cache(feature_dir: str, pretrain: str) -> np.ndarray:
             ]
             np.save(cache, np.asarray(x))
         return np.load(cache)
+    if "clap" in pretrain:
+        # 5s/7s raw 44.1kHz clips (AudioClassifierCLAP loads audio in forward,
+        # models_eval.py:957-1029; here pre-cropped once)
+        from ..models.clap import CLAPConfig, load_clap_clip
+
+        cfg = CLAPConfig(version="2023" if "2023" in pretrain else "2022")
+        cache = os.path.join(feature_dir, f"clap_audio_{cfg.version}.npy")
+        if not os.path.exists(cache):
+            files = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+            rng = np.random.default_rng(0)
+            n = int(cfg.duration * cfg.sample_rate) // cfg.hop * cfg.hop
+            x = [load_clap_clip(str(f), cfg.duration, cfg.sample_rate, rng)[:n] for f in files]
+            np.save(cache, np.asarray(x))
+        return np.load(cache)
+    if pretrain == "hear":
+        # first 2s waveform chunk (finetuning.py:1064-1078 stores waveforms)
+        cache = os.path.join(feature_dir, "fbank_hear.npy")
+        if not os.path.exists(cache):
+            files = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+            x = [
+                pipelines.get_split_signal_fbank_pad(
+                    str(f), input_sec=2, spectrogram=False
+                )[0]
+                for f in files
+            ]
+            np.save(cache, np.asarray(x))
+        return np.load(cache)
     cache = os.path.join(feature_dir, "spectrogram_pad8.npy")
     if not os.path.exists(cache):
         files = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
@@ -371,6 +412,14 @@ def finetune_heart(
         encoder_kind, feat_dim = "audiomae", 768
         batch_size = 32
         tdw, fdw = 100, 20
+    elif "clap" in pretrain:
+        encoder_kind = "clap2023" if "2023" in pretrain else "clap"
+        feat_dim = 1024
+        tdw, fdw = 64, 8
+    elif pretrain == "hear":
+        encoder_kind, feat_dim = "hear", 1024
+        batch_size = 16
+        tdw, fdw = 0, 0
     elif "GT" in pretrain or pretrain == "operaGT":
         encoder_kind, feat_dim = "gt", 384
         tdw, fdw = 40, 8
@@ -382,7 +431,22 @@ def finetune_heart(
         tdw, fdw = 40, 8
 
     enc_params = enc_stats = None
-    if not random_init and pretrain not in ("null",):
+    if not random_init and encoder_kind in ("clap", "clap2023", "hear"):
+        if ckpt_path is None:
+            raise FileNotFoundError(
+                f"{pretrain} fine-tuning needs converted weights; pass "
+                "ckpt_path= (extract.convert kinds clap2022/clap2023/hear) or "
+                "random_init=True"
+            )
+        from ..extract import convert
+
+        kind = "hear" if encoder_kind == "hear" else (
+            "clap2023" if encoder_kind == "clap2023" else "clap2022"
+        )
+        loaded = convert.load_converted(ckpt_path, kind)
+        enc_params = loaded["params"]
+        enc_stats = loaded.get("batch_stats")
+    elif not random_init and pretrain not in ("null",):
         from ..extract import registry
 
         _, loaded = registry.initialize_pretrained_model(pretrain, ckpt_path=ckpt_path)
