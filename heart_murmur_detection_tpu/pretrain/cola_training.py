@@ -56,6 +56,7 @@ def train_multiple_data(
     eval_every: int = 1,
     verbose: bool = True,
     htsat_config=None,
+    resume: bool = False,
 ):
     kw = {} if htsat_config is None else {"htsat": htsat_config}
     model = Cola(
@@ -133,6 +134,22 @@ def train_multiple_data(
         batch_stats = put_replicated(batch_stats, mesh)
         opt_state = put_replicated(opt_state, mesh)
 
+    from ..train.checkpoints import ResumeCheckpointer
+
+    resume_ckpt = ResumeCheckpointer(
+        os.path.join(ckpt_root, "_".join(data_source.keys()), title), every_n_epochs=5
+    )
+    start_epoch = 0
+    if resume:
+        restored = resume_ckpt.restore(opt_state_target=opt_state)
+        if restored is not None:
+            start_epoch, variables_r, opt_state, _ = restored
+            params = variables_r["params"]
+            batch_stats = variables_r.get("batch_stats", batch_stats)
+            start_epoch += 1
+            if verbose:
+                print(f"[cola-cp {title}] resumed at epoch {start_epoch}")
+
     ckpt = TopKCheckpointer(
         dirpath=os.path.join(ckpt_root, "_".join(data_source.keys())),
         filename_fmt="encoder-" + title + "-epoch={epoch:02d}--valid_acc={valid_acc:.2f}-valid_loss={valid_loss:.4f}.msgpack",
@@ -143,9 +160,9 @@ def train_multiple_data(
     )
     logger = CSVLogger(os.path.join(log_dir, "combined"), title)
 
-    step_rng = jax.random.PRNGKey(seed + 1)
+    step_rng = jax.random.PRNGKey(seed + 1 + start_epoch)
     history = []
-    for epoch in range(n_epoches):
+    for epoch in range(start_epoch, n_epoches):
         t0 = time.time()
         tr_losses = []
         for _ in range(sampler.steps_per_epoch):
@@ -188,4 +205,7 @@ def train_multiple_data(
                 {"params": params, "batch_stats": batch_stats},
                 valid_acc=valid_acc,
             )
+        resume_ckpt.save(
+            epoch, {"params": params, "batch_stats": batch_stats}, opt_state
+        )
     return {"params": params, "batch_stats": batch_stats}, history, ckpt.best_path

@@ -42,6 +42,7 @@ def mae_train_multiple_data(
     manifest_fn=None,
     verbose: bool = True,
     config_override=None,
+    resume: bool = False,
 ):
     if config_override is not None:
         cfg = config_override
@@ -84,6 +85,21 @@ def mae_train_multiple_data(
         params = put_replicated(params, mesh)
         opt_state = put_replicated(opt_state, mesh)
 
+    from ..train.checkpoints import ResumeCheckpointer
+
+    resume_ckpt = ResumeCheckpointer(
+        os.path.join(ckpt_root, "_".join(data_source.keys()), title), every_n_epochs=5
+    )
+    start_epoch = 0
+    if resume:
+        restored = resume_ckpt.restore(opt_state_target=opt_state)
+        if restored is not None:
+            start_epoch, variables_r, opt_state, _ = restored
+            params = variables_r["params"]
+            start_epoch += 1
+            if verbose:
+                print(f"[mae-cp {title}] resumed at epoch {start_epoch}")
+
     ckpt = TopKCheckpointer(
         dirpath=os.path.join(ckpt_root, "_".join(data_source.keys())),
         filename_fmt="encoder-" + title + "-epoch={epoch:02d}--valid_acc={valid_acc:.2f}-valid_loss={valid_loss:.4f}.msgpack",
@@ -94,9 +110,9 @@ def mae_train_multiple_data(
     )
     logger = CSVLogger(os.path.join(log_dir, "combined"), title)
 
-    step_rng = jax.random.PRNGKey(seed + 1)
+    step_rng = jax.random.PRNGKey(seed + 1 + start_epoch)
     history = []
-    for epoch in range(n_epoches):
+    for epoch in range(start_epoch, n_epoches):
         t0 = time.time()
         tr = []
         for _ in range(sampler.steps_per_epoch):
@@ -124,4 +140,5 @@ def mae_train_multiple_data(
                 f"valid {valid_loss:.4f} ({time.time()-t0:.1f}s)"
             )
         ckpt.step(epoch, valid_loss, {"params": params}, valid_acc=0.0)
+        resume_ckpt.save(epoch, {"params": params}, opt_state)
     return {"params": params}, history, ckpt.best_path

@@ -48,6 +48,39 @@ def find_best_ckpt(
     return best
 
 
+class ResumeCheckpointer:
+    """Full-train-state 'last' checkpoint for automatic resume — a capability
+    the reference lacks (SURVEY §5.3: manual resume only). Saves
+    {epoch, variables, opt_state, rng_state} every N epochs to <dir>/last.msgpack."""
+
+    def __init__(self, dirpath: str, every_n_epochs: int = 5):
+        self.path = os.path.join(dirpath, "last.msgpack")
+        self.every = every_n_epochs
+
+    def save(self, epoch: int, variables, opt_state, extra: Optional[dict] = None):
+        if (epoch + 1) % self.every != 0:
+            return
+        payload = {
+            "epoch": np.asarray(epoch),
+            "variables": jax.device_get(variables),
+            # optax states are namedtuple pytrees; flatten to a state dict
+            "opt_state": ser.to_state_dict(jax.device_get(opt_state)),
+            "extra": extra or {},
+        }
+        save_params(self.path, payload)
+
+    def restore(self, opt_state_target=None):
+        """Returns (epoch, variables, opt_state, extra) or None. Pass a freshly
+        initialized opt_state as target to rebuild its namedtuple structure."""
+        if not os.path.exists(self.path):
+            return None
+        p = load_params(self.path)
+        opt = p["opt_state"]
+        if opt_state_target is not None:
+            opt = ser.from_state_dict(opt_state_target, opt)
+        return int(p["epoch"]), p["variables"], opt, p.get("extra", {})
+
+
 class TopKCheckpointer:
     """save_top_k behavior of pl.ModelCheckpoint (cola_training.py:266-273):
     keep the k best checkpoints by a monitored metric, save every N epochs."""
