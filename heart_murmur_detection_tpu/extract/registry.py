@@ -156,11 +156,33 @@ def initialize_pretrained_model(
             ckpt_path = get_audiomae_encoder_path(pretrain)
         else:
             ckpt_path = get_encoder_path(pretrain)
-    loaded = convert.load_converted(ckpt_path, kind)
+    if ckpt_path.endswith(".msgpack"):
+        loaded = _adapt_msgpack_ckpt(ckpt_path)
+    else:
+        loaded = convert.load_converted(ckpt_path, kind)
     # merge into randomly-initialized template so missing leaves keep defaults
     template = _cached_init(kind, init_fn, cpu)
     variables = _merge_trees(jax.device_get(template), loaded)
     return model, variables
+
+
+def _adapt_msgpack_ckpt(path: str) -> dict:
+    """Load one of OUR checkpoints (CP Cola tree, or a fine-tuned
+    EncoderClassifier tree whose encoder subtree maps onto Cola.encoder —
+    mirrors the reference's strict=False prefix-overlap loading,
+    finetuning.py:1171 / eval pipeline cross-FT extraction)."""
+    import flax.serialization as ser
+
+    with open(path, "rb") as f:
+        tree = ser.msgpack_restore(f.read())
+    params = tree.get("params", tree)
+    stats = tree.get("batch_stats", {})
+    if "head" in params and "encoder" in params:  # FT classifier tree
+        return {
+            "params": {"encoder": params["encoder"]},
+            "batch_stats": {"encoder": stats.get("encoder", {})},
+        }
+    return {"params": params, "batch_stats": stats}
 
 
 def _cached_init(kind: str, init_fn, cpu):
