@@ -52,16 +52,26 @@ def main():
     wavj, lenj = jnp.asarray(wav), jnp.asarray(lengths)
     np.asarray(batched(wavj, lenj))  # compile + warm
 
+    # (a) device-resident throughput: the chip's mel+encoder capability
     t0 = time.time()
     n_done = 0
-    reps = 0
     while n_done < N_CLIPS:
         out = batched(wavj, lenj)
         n_done += BATCH
-        reps += 1
     np.asarray(out)  # sync
-    dt = time.time() - t0
-    ours = n_done / dt
+    ours = n_done / (time.time() - t0)
+
+    # (b) streaming throughput: host->device transfer included (PCM16 packing,
+    # the production extractor path); bound by the host link, not the chip
+    wav16, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
+    np.asarray(batched(jnp.asarray(wav16), lenj))  # warm int16 graph
+    t0 = time.time()
+    n_done = 0
+    while n_done < N_CLIPS:
+        out = batched(jnp.asarray(wav16), lenj)
+        n_done += BATCH
+    np.asarray(out)
+    streaming = n_done / (time.time() - t0)
 
     # reference-style baseline: host mel per clip + batch-1 encoder dispatch
     @jax.jit
@@ -88,6 +98,7 @@ def main():
                 "unit": "clips/sec/chip",
                 "vs_baseline": round(ours / base, 2),
                 "baseline_per_clip_loop": round(base, 2),
+                "streaming_clips_per_sec_int16": round(streaming, 2),
                 "backend": jax.default_backend(),
             }
         )

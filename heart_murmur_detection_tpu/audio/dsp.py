@@ -106,6 +106,10 @@ def mel_frontend(
       n_frames: (B,) int32 valid frame counts (= lengths//hop + 1).
     """
     assert hop * 2 == n_fft, "mel_frontend assumes 50% hop (reference uses 1024/512)"
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        # int16 PCM transfer path: host ships native sample width (halves
+        # host->device traffic), conversion to [-1,1) float happens on device
+        wav = wav.astype(jnp.float32) / 32768.0
     B, Nmax = wav.shape
     pad = n_fft // 2
     # center padding; trailing zeros already present in the batch buffer.
@@ -203,6 +207,8 @@ def kaldi_fbank_frontend(
     Returns (B, Tmax, num_mel_bins) with invalid frames zeroed, and (B,) valid
     frame counts (= 1 + (len-win)//shift, 0 if len < win).
     """
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        wav = wav.astype(jnp.float32) / 32768.0
     B, Nmax = wav.shape
     win = int(sr * frame_length_ms / 1000)
     shift = int(sr * frame_shift_ms / 1000)
@@ -298,15 +304,24 @@ def resize_bicubic_static(x: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 
 def pad_batch(
-    clips, pad_to_multiple: int = 512, max_len: Optional[int] = None
+    clips,
+    pad_to_multiple: int = 512,
+    max_len: Optional[int] = None,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Zero-pad a list of 1-D clips to a common length (multiple of hop)."""
+    """Zero-pad a list of 1-D clips to a common length (multiple of hop).
+
+    dtype=np.int16 packs float clips as PCM16 for cheap host->device transfer
+    (exact for 16-bit-sourced audio; mel_frontend converts on device)."""
     lengths = np.array([len(c) for c in clips], dtype=np.int32)
     n = int(lengths.max()) if max_len is None else max_len
     n = ((n + pad_to_multiple - 1) // pad_to_multiple) * pad_to_multiple
-    out = np.zeros((len(clips), n), dtype=np.float32)
+    out = np.zeros((len(clips), n), dtype=dtype)
     for i, c in enumerate(clips):
         m = min(len(c), n)
-        out[i, :m] = c[:m]
+        if dtype == np.int16 and c.dtype != np.int16:
+            out[i, :m] = np.clip(np.round(c[:m] * 32768.0), -32768, 32767)
+        else:
+            out[i, :m] = c[:m]
         lengths[i] = m
     return out, lengths

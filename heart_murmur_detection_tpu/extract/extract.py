@@ -50,10 +50,15 @@ class FeatureExtractor:
         random_init: bool = False,
         compute_dtype=jnp.float32,
         use_pallas_mel: bool = False,
+        transfer_int16: bool = True,
     ):
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).
         self.use_pallas_mel = use_pallas_mel
+        # transfer_int16: ship waveforms host->device as PCM16 (exact for
+        # 16-bit-sourced audio; halves transfer bytes; converted on device)
+        self.transfer_int16 = transfer_int16
+        self._xfer_dtype = np.int16 if transfer_int16 else np.float32
         self.pretrain = pretrain
         self.is_mae = "mae" in pretrain or "GT" in pretrain
         self.is_audiomae = "audiomae" in pretrain
@@ -175,6 +180,8 @@ class FeatureExtractor:
         )
         out = np.zeros((len(paths), self.dim), np.float32)
         for lo, k, wav, lengths in loader:
+            if self.transfer_int16:
+                wav = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
             f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
             out[lo : lo + k] = f[:k]
         return out
@@ -190,7 +197,7 @@ class FeatureExtractor:
             chunk = clips[lo:hi]
             if len(chunk) < bs:  # pad batch to fixed size, drop extras after
                 chunk = chunk + [chunk[0]] * (bs - len(chunk))
-            wav, lengths = dsp.pad_batch(chunk, max_len=max_len)
+            wav, lengths = dsp.pad_batch(chunk, max_len=max_len, dtype=self._xfer_dtype)
             f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
             out.append(f[: hi - lo])
         return np.concatenate(out, axis=0)
@@ -226,7 +233,7 @@ class FeatureExtractor:
             part = chunks[lo:hi]
             if len(part) < bs:
                 part = part + [part[0]] * (bs - len(part))
-            wav, lengths = dsp.pad_batch(part, max_len=max_len)
+            wav, lengths = dsp.pad_batch(part, max_len=max_len, dtype=self._xfer_dtype)
             f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
             out.append(f[: hi - lo])
         return np.concatenate(out, axis=0)
