@@ -465,7 +465,21 @@ def finetune_heart(
         ann_all = np.load(os.path.join(feature_dir, "annotations.npy")).astype(np.int32)
         ann = ann_all[valid][te]
 
-    return finetune_classifier(
+    # wandb project Heart-Sound-Analysis-FT (finetuning.py:897-902); gated
+    from ..utils.logging import WandbLogger, get_run_name
+
+    wandb = WandbLogger(
+        "Heart-Sound-Analysis-FT",
+        get_run_name(f"{pretrain}-{dataset_name}-{task}-{head}"),
+        config=dict(
+            n_cls=n_cls, pretrain=pretrain, l2_strength=l2_strength,
+            epochs=epochs, batch_size=batch_size, lr=lr, head=head, seed=seed,
+            dataset=dataset_name, task=task, freeze_encoder=freeze_encoder,
+            loss=loss, spec_augment=spec_augment,
+        ),
+    )
+
+    res = finetune_classifier(
         x_data[tr],
         y_label[tr],
         x_data[va],
@@ -492,3 +506,30 @@ def finetune_heart(
         task=task,
         annotations_test=ann,
     )
+    # save the best checkpoint with the reference filename convention and log
+    ck_dir = (
+        f"cks/finetune/{dataset_name}_{task}/" if task else f"cks/finetune/{dataset_name}"
+    )
+    name = "_".join(
+        ["finetuning", head, pretrain, str(batch_size), str(lr), str(epochs),
+         str(l2_strength), str(seed)]
+    )
+    if freeze_encoder == "early":
+        name += "_early"
+    if loss == "weighted":
+        name += "_weighted"
+    from .checkpoints import save_params
+
+    try:
+        save_params(
+            os.path.join(
+                ck_dir,
+                f"{name}-epoch={res.best_epoch:02d}-valid_auc={res.valid_auc:.2f}.msgpack",
+            ),
+            res.variables,
+        )
+    except OSError:
+        pass
+    wandb.log({"test_auc": res.test_auc})
+    wandb.finish()
+    return res

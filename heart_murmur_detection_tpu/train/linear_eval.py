@@ -225,6 +225,21 @@ def linear_evaluation_heart(
         ann_all = np.load(os.path.join(feature_dir, "annotations.npy")).astype(np.int32)
         ann = ann_all[valid][te]
 
+    # wandb project Heart-Sound-Analysis (linear_eval.py:1491-1512); no-ops
+    # unless WANDB_API_KEY / WANDB_MODE is configured
+    from ..utils.logging import WandbLogger, get_run_name
+
+    wandb = WandbLogger(
+        "Heart-Sound-Analysis",
+        get_run_name(f"{use_feature}-{dataset_name}-{task}-{head}"),
+        config=dict(
+            n_cls=n_cls, use_feature=use_feature, l2_strength=l2_strength,
+            epochs=epochs, batch_size=batch_size, lr=lr, head=head,
+            dataset=dataset_name, task=task, seed=seed,
+            gradient_clip_val=1.0, loss=loss,
+        ),
+    )
+
     cw = get_class_weights(y_label[tr], n_cls) if loss == "weighted" else None
     res = train_linear_head(
         x_data[tr],
@@ -259,6 +274,10 @@ def linear_evaluation_heart(
             ),
             res.params,
         )
+    wandb.log({"test_auc": res.test_auc, **{
+        k: v for k, v in res.metrics.items() if np.isscalar(v)
+    }})
+    wandb.finish()
     return res
 
 
