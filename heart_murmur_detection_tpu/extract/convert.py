@@ -53,7 +53,9 @@ def _linear(sd, tkey, tree, fpath, bias=True):
 
 def _conv(sd, tkey, tree, fpath, depthwise=False):
     w = sd[tkey + ".weight"]
-    w = w.transpose(2, 3, 0, 1) if depthwise else w.transpose(2, 3, 1, 0)
+    # torch (out, in/groups, kh, kw) -> flax (kh, kw, in/groups, out); for
+    # depthwise convs in/groups == 1 and flax expects (kh, kw, 1, out)
+    w = w.transpose(2, 3, 1, 0)
     _set(tree, fpath + ("kernel",), w)
     if tkey + ".bias" in sd:
         _set(tree, fpath + ("bias",), sd[tkey + ".bias"])
