@@ -62,7 +62,21 @@ HEART_CORPORA = (
 
 
 def manifest_path(corpus: str, method: str = "cola", in_domain: bool = False) -> str:
-    """Per-corpus spectrogram manifest written by prepare (heart_pressl.py)."""
+    """Per-corpus spectrogram manifest. Heart corpora live under
+    feature/<c>_eval/ (heart_pressl.py); legacy respiratory corpora keep their
+    reference locations under datasets/ (cola_training.py:142-179)."""
+    legacy = {
+        "covidbreath": "datasets/covid19-sounds/SSL_entireaudio_filenames_breath.npy",
+        "covidcough": "datasets/covid19-sounds/SSL_entireaudio_filenames_cough.npy",
+        "icbhi": "datasets/icbhi/entire_spec_filenames.npy",
+        "icbhicycle": "datasets/icbhi/cycle_spec_pad2_name.npy",
+        "coughvid": "datasets/coughvid/entire_spec_filenames.npy",
+        "hf_lung": "datasets/hf_lung/entire_spec_filenames.npy",
+        "covidUKexhalation": "datasets/covidUK/entire_exhalation_filenames.npy",
+        "covidUKcough": "datasets/covidUK/entire_cough_filenames.npy",
+    }
+    if corpus in legacy:
+        return legacy[corpus]
     base = "audiomae_entire_spec" if method == "audiomae" else "entire_spec"
     if in_domain:
         base += "_in_domain"
@@ -95,7 +109,14 @@ def load_corpus(
     from sklearn.model_selection import train_test_split
 
     mpath = manifest or manifest_path(name, method, in_domain)
-    filenames = list(np.load(mpath))
+    filenames = np.load(mpath)
+    if name == "icbhi":  # exclude official test split (cola_training.py:150-155)
+        tt = np.load("datasets/icbhi/entire_spec_split.npy")
+        filenames = filenames[tt == "train"]
+    elif name == "icbhicycle":
+        tt = np.load("datasets/icbhi/cycle_spec_split.npy")
+        filenames = filenames[tt == "train"]
+    filenames = list(filenames)
     train_f, val_f = train_test_split(
         filenames, test_size=val_fraction, random_state=split_seed
     )
