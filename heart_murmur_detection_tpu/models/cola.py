@@ -68,7 +68,7 @@ class Cola(nn.Module):
         if cfg.middle_enabled:
             self.middle = nn.Dense(cfg.dim_hidden, name="middle")
         self.g = nn.Dense(cfg.dim_out, name="g")
-        self.layer_norm = nn.LayerNorm(name="layer_norm")
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
         self.linear = nn.Dense(cfg.dim_out, use_bias=False, name="linear")
         self.do = nn.Dropout(self.config.p)
 

@@ -194,7 +194,7 @@ class SwinBlock(nn.Module):
 
         B, L, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         xw = window_partition(x, window)
@@ -213,7 +213,7 @@ class SwinBlock(nn.Module):
         dp = DropPath(self.drop_path)
         x = shortcut + dp(x, deterministic)
         y = Mlp(int(C * self.mlp_ratio), C, self.drop, name="mlp")(
-            nn.LayerNorm(name="norm2")(x), deterministic
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
         )
         return x + dp(y, deterministic)
 
@@ -231,7 +231,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         ).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
 
 
@@ -254,7 +254,7 @@ class PatchEmbed(nn.Module):
         )(x)
         B, Hp, Wp, C = x.shape
         x = x.reshape(B, Hp * Wp, C)
-        return nn.LayerNorm(name="norm")(x), (Hp, Wp)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x), (Hp, Wp)
 
 
 def htsat_forward_long(
@@ -346,7 +346,7 @@ class HTSAT(nn.Module):
                 x = PatchMerging(res, dim, name=f"layers_{i_layer}_downsample")(x)
                 res = (res[0] // 2, res[1] // 2)
 
-        x = nn.LayerNorm(name="norm")(x)  # (B, 64, 768)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # (B, 64, 768)
         latent = x.mean(axis=1)  # == avgpool over the folded SFxST map
 
         out = {"latent_output": latent}

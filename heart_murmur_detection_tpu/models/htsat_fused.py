@@ -1,0 +1,149 @@
+"""Fused-inference HTS-AT forward: same variables tree as models.htsat.HTSAT,
+but swin blocks run through the fused Pallas kernel (ops.pallas_swin) for the
+bandwidth-bound stages (C <= 384); the last stage (C=768, whose weights exceed
+VMEM) uses an inline jnp block. Eval-mode only (extraction / LP feature path).
+
+Numerics match HTSAT.apply to ~1e-4 (tests/test_pallas_swin.py::TestFusedHTSAT).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.dsp import resize_bicubic_time
+from ..ops.pallas_swin import fused_swin_block
+from .htsat import HTSATConfig, _relative_position_index, _shift_attn_mask
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _ln(x, p, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _block_jnp(x, p, H, W, heads, window, shift, bias, mask):
+    """Plain jnp swin block (fallback for VMEM-oversized stages)."""
+    B, L, C = x.shape
+    hd = C // heads
+    shortcut = x
+    h = _ln(x, p["norm1"]).reshape(B, H, W, C)
+    if shift:
+        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+    hw = (
+        h.reshape(B, H // window, window, W // window, window, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, window * window, C)
+    )
+    qkv = hw @ p["attn"]["qkv"]["kernel"] + p["attn"]["qkv"]["bias"]
+    q, k, v = [
+        qkv[..., i * C : (i + 1) * C]
+        .reshape(-1, window * window, heads, hd)
+        .transpose(0, 2, 1, 3)
+        for i in range(3)
+    ]
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q * hd**-0.5, k, precision=HI) + bias[None]
+    if mask is not None:
+        nW = mask.shape[0]
+        attn = attn.reshape(-1, nW, heads, window * window, window * window)
+        attn = (attn + mask[None, :, None]).reshape(-1, heads, window * window, window * window)
+    attn = jax.nn.softmax(attn, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", attn, v, precision=HI)
+    o = o.transpose(0, 2, 1, 3).reshape(-1, window * window, C)
+    o = o @ p["attn"]["proj"]["kernel"] + p["attn"]["proj"]["bias"]
+    h = (
+        o.reshape(B, H // window, W // window, window, window, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H, W, C)
+    )
+    if shift:
+        h = jnp.roll(h, (shift, shift), axis=(1, 2))
+    x = shortcut + h.reshape(B, L, C)
+    m = _ln(x, p["norm2"])
+    m = jax.nn.gelu(m @ p["mlp"]["fc1"]["kernel"] + p["mlp"]["fc1"]["bias"], approximate=False)
+    m = m @ p["mlp"]["fc2"]["kernel"] + p["mlp"]["fc2"]["bias"]
+    return x + m
+
+
+def htsat_apply_fused(
+    variables: dict,
+    mel: jnp.ndarray,
+    n_frames=None,
+    cfg: HTSATConfig = HTSATConfig(),
+    max_fused_dim: int = 384,
+) -> jnp.ndarray:
+    """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    B, T, F = mel.shape
+
+    # bn0 (eval: running stats)
+    bn = params["bn0"]
+    x = (mel - stats["bn0"]["mean"]) * jax.lax.rsqrt(
+        stats["bn0"]["var"] + 1e-5
+    ) * bn["scale"] + bn["bias"]
+
+    target_T = cfg.spec_size * cfg.freq_ratio
+    if n_frames is None:
+        n_frames = jnp.full((B,), T, dtype=jnp.int32)
+    if T < target_T:
+        x = jnp.pad(x, ((0, 0), (0, target_T - T), (0, 0)))
+    x = resize_bicubic_time(x, n_frames, target_T)
+    x = x.reshape(B, cfg.freq_ratio, cfg.spec_size, F)
+    x = x.transpose(0, 1, 3, 2).reshape(B, cfg.freq_ratio * F, cfg.spec_size)
+    x = x[..., None]
+
+    pe = params["patch_embed"]
+    x = jax.lax.conv_general_dilated(
+        x, pe["proj"]["kernel"],
+        window_strides=cfg.patch_stride,
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=HI,
+    ) + pe["proj"]["bias"]
+    B_, Hp, Wp, D = x.shape
+    x = _ln(x.reshape(B, Hp * Wp, D), pe["norm"])
+
+    res = (Hp, Wp)
+    for i_layer, depth in enumerate(cfg.depths):
+        dim = int(cfg.embed_dim * 2**i_layer)
+        heads = cfg.num_heads[i_layer]
+        H, W = res
+        window = cfg.window_size if min(H, W) > cfg.window_size else min(H, W)
+        for b in range(depth):
+            shift = 0 if b % 2 == 0 else (cfg.window_size // 2 if min(H, W) > cfg.window_size else 0)
+            p = params[f"layers_{i_layer}_blocks_{b}"]
+            table = p["attn"]["relative_position_bias_table"]
+            rel_idx = _relative_position_index(window, window).reshape(-1)
+            N = window * window
+            bias = table[rel_idx].reshape(N, N, heads).transpose(2, 0, 1)
+            mask = (
+                jnp.asarray(_shift_attn_mask(H, W, window, shift)) if shift else None
+            )
+            if dim <= max_fused_dim and window == cfg.window_size:
+                xs = x.reshape(B, H, W, dim)
+                if shift:
+                    xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+                xs = fused_swin_block(
+                    xs, p, bias, mask, window=window, num_heads=heads
+                )
+                if shift:
+                    xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
+                x = xs.reshape(B, H * W, dim)
+            else:
+                x = _block_jnp(x, p, H, W, heads, window, shift, bias, mask)
+        if i_layer < len(cfg.depths) - 1:
+            pm = params[f"layers_{i_layer}_downsample"]
+            xs = x.reshape(B, H, W, dim)
+            xs = jnp.concatenate(
+                [xs[:, 0::2, 0::2], xs[:, 1::2, 0::2], xs[:, 0::2, 1::2], xs[:, 1::2, 1::2]],
+                axis=-1,
+            ).reshape(B, -1, 4 * dim)
+            x = _ln(xs, pm["norm"]) @ pm["reduction"]["kernel"]
+            res = (H // 2, W // 2)
+
+    x = _ln(x, params["norm"])
+    return x.mean(axis=1)

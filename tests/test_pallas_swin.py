@@ -1,0 +1,80 @@
+"""Fused pallas swin block vs the flax SwinBlock (interpret mode, both
+shifted and unshifted, stage-1 and stage-3 geometries)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heart_murmur_detection_tpu.models.htsat import (
+    SwinBlock,
+    _relative_position_index,
+    _shift_attn_mask,
+)
+from heart_murmur_detection_tpu.ops.pallas_swin import fused_swin_block
+
+
+@pytest.mark.parametrize(
+    "C,res,heads,shift",
+    [
+        (96, (16, 16), 4, 0),
+        (96, (16, 16), 4, 4),
+        (384, (16, 16), 16, 0),
+        (384, (16, 16), 16, 4),
+    ],
+)
+def test_fused_matches_flax(C, res, heads, shift):
+    H, W = res
+    blk = SwinBlock(
+        dim=C, input_resolution=res, num_heads=heads, window=8, shift=shift,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((2, H * W, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    mask = (
+        jnp.asarray(_shift_attn_mask(H, W, 8, shift)) if shift else None
+    )
+
+    xs = x.reshape(2, H, W, C)
+    if shift:
+        xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+    out = fused_swin_block(
+        xs, p, bias, mask, num_heads=heads, tw=2, interpret=True
+    )
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    got = np.asarray(out).reshape(2, H * W, C)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+class TestFusedHTSAT:
+    def test_full_forward_matches_flax(self):
+        """htsat_apply_fused == HTSAT.apply latent to ~1e-4 (interpret kernels)."""
+        from unittest import mock
+
+        import heart_murmur_detection_tpu.models.htsat_fused as hf
+        from heart_murmur_detection_tpu.models.htsat import HTSAT, HTSATConfig
+
+        cfg = HTSATConfig()
+        model = HTSAT(cfg)
+        r = np.random.default_rng(0)
+        mel = jnp.asarray(r.random((1, 251, 64)), jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), mel)
+        want = np.asarray(model.apply(v, mel)["latent_output"])
+
+        orig = hf.fused_swin_block
+
+        def interp(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        with mock.patch.object(hf, "fused_swin_block", interp):
+            got = np.asarray(hf.htsat_apply_fused(v, mel, cfg=cfg))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
