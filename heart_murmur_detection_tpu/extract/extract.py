@@ -50,8 +50,13 @@ class FeatureExtractor:
         random_init: bool = False,
         compute_dtype=jnp.float32,
         use_pallas_mel: bool = False,
+        use_fused_htsat: bool = False,
         transfer_int16: bool = True,
     ):
+        # use_fused_htsat: models.htsat_fused forward (fused Pallas swin
+        # blocks): ~5% faster steady-state and ~4.5x faster first compile;
+        # features match the flax path to cosine 0.99999 (erf approximation)
+        self.use_fused_htsat = use_fused_htsat
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).
         self.use_pallas_mel = use_pallas_mel
@@ -106,6 +111,22 @@ class FeatureExtractor:
             return fn
 
         dim = self.dim
+
+        if self.use_fused_htsat and "operaCT" in self.pretrain and dim == 768:
+            from ..models.htsat import HTSATConfig
+            from ..models.htsat_fused import htsat_apply_fused
+
+            enc_vars = {
+                "params": variables["params"]["encoder"],
+                "batch_stats": variables["batch_stats"]["encoder"],
+            }
+
+            @jax.jit
+            def fn(wav, lengths):
+                mel, nf = self._mel(wav, lengths)
+                return htsat_apply_fused(enc_vars, mel, nf, HTSATConfig())
+
+            return fn
 
         @jax.jit
         def fn(wav, lengths):

@@ -31,6 +31,24 @@ from jax.experimental.pallas import tpu as pltpu
 HI = jax.lax.Precision.HIGHEST
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (max err 1.5e-7) — Mosaic lowers
+    neither erf nor erfc, so implement it (pallas guide: 'implement it')."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    # jax.nn.gelu(approximate=False) == 0.5 x (1 + erf(x/sqrt2))
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
 def _ln(x, scale, bias, eps=1e-5):
     mu = x.mean(axis=-1, keepdims=True)
     var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
@@ -43,40 +61,48 @@ def _kernel(
     ln1_s, ln1_b, ln2_s, ln2_b,
     w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
-    *, tw: int, win: int, heads: int, use_mask: bool,
+    *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
 ):
     C = x_ref.shape[-1]
     hd = C // heads
     N = win * win
-    # (1, win, win*tw, C) -> windows (tw, N, C) via VMEM reshapes
-    x = x_ref[0]  # (win, win*tw, C)
-    xw = x.reshape(win, tw, win, C).transpose(1, 0, 2, 3).reshape(tw, N, C)
+    nw = bb * tw  # windows processed per kernel instance
+    # (bb, win, win*tw, C) -> windows (bb*tw, N, C) via VMEM reshapes
+    x = x_ref[:]  # (bb, win, win*tw, C)
+    xw = x.reshape(bb, win, tw, win, C).transpose(0, 2, 1, 3, 4).reshape(nw, N, C)
+    tw = nw  # downstream treats the fused (batch x window) axis uniformly
 
     h = _ln(xw, ln1_s[0], ln1_b[0])
     qkv = (
         jnp.dot(h.reshape(tw * N, C), w_qkv[:], precision=HI,
                 preferred_element_type=jnp.float32)
         + b_qkv[0]
-    ).reshape(tw, N, 3, heads, hd)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # (tw, heads, N, hd)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-
-    attn = jax.lax.dot_general(
-        q * (hd ** -0.5), k,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
-        precision=HI, preferred_element_type=jnp.float32,
-    )  # (tw, heads, N, N)
-    attn = attn + bias_ref[:][None]
-    if use_mask:
-        attn = attn + mask_ref[0, 0][:, None]  # (tw, 1, N, N) broadcast heads
-    attn = jax.nn.softmax(attn, axis=-1)
-    o = jax.lax.dot_general(
-        attn, v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
-        precision=HI, preferred_element_type=jnp.float32,
-    )  # (tw, heads, N, hd)
-    o = o.transpose(0, 2, 1, 3).reshape(tw * N, C)
+    ).reshape(tw, N, 3 * C)  # sublane split only; Mosaic can't split lanes
+    mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
+    # per-head loop: lane-dim slices keep reshapes legal; matmuls get a
+    # single batch dim (tw), which Mosaic supports
+    outs = []
+    for hh in range(heads):
+        qh = qkv[:, :, hh * hd : (hh + 1) * hd]
+        kh = qkv[:, :, C + hh * hd : C + (hh + 1) * hd]
+        vh = qkv[:, :, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
+        a = jax.lax.dot_general(
+            qh * (hd ** -0.5), kh,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=HI, preferred_element_type=jnp.float32,
+        )  # (tw, N, N)
+        a = a + bias_ref[hh]
+        if mask is not None:
+            a = a + mask
+        a = jax.nn.softmax(a, axis=-1)
+        outs.append(
+            jax.lax.dot_general(
+                a, vh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=HI, preferred_element_type=jnp.float32,
+            )
+        )  # (tw, N, hd)
+    o = jnp.concatenate(outs, axis=-1).reshape(tw * N, C)
     o = (
         jnp.dot(o, w_proj[:], precision=HI, preferred_element_type=jnp.float32)
         + b_proj[0]
@@ -88,17 +114,17 @@ def _kernel(
         jnp.dot(m, w_fc1[:], precision=HI, preferred_element_type=jnp.float32)
         + b_fc1[0]
     )
-    m = jax.nn.gelu(m, approximate=False)
+    m = _gelu_exact(m)
     m = (
         jnp.dot(m, w_fc2[:], precision=HI, preferred_element_type=jnp.float32)
         + b_fc2[0]
     ).reshape(tw, N, C)
     out = h1 + m
 
-    # back to spatial (win, win*tw, C)
-    out_ref[0] = out.reshape(tw, win, win, C).transpose(1, 0, 2, 3).reshape(
-        win, tw * win, C
-    )
+    # back to spatial (bb, win, win*tw, C)
+    out_ref[:] = out.reshape(bb, tw // bb, win, win, C).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(bb, win, (tw // bb) * win, C)
 
 
 def fused_swin_block(
@@ -110,6 +136,7 @@ def fused_swin_block(
     window: int = 8,
     num_heads: int,
     tw: Optional[int] = None,
+    bb: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One swin block on spatial input x (B, H, W, C).
@@ -125,6 +152,15 @@ def fused_swin_block(
         tw = min(nww, 8)
     assert nww % tw == 0
     N = win * win
+    if bb is None:
+        # batch rows per kernel instance: amortizes weight DMAs across the
+        # grid; bounded by a ~8MB VMEM activation budget
+        hidden = params["mlp"]["fc1"]["kernel"].shape[1]
+        per_row = tw * N * (14 * C + hidden) * 4
+        bb = max(1, min(B, (8 << 20) // max(per_row, 1)))
+        while B % bb:
+            bb -= 1
+    assert B % bb == 0
     use_mask = mask is not None
     if mask is None:
         mask_arr = jnp.zeros((nwh, nww // tw, tw, N, N), jnp.float32)
@@ -148,13 +184,15 @@ def fused_swin_block(
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    grid = (B, nwh, nww // tw)
+    grid = (B // bb, nwh, nww // tw)
     return pl.pallas_call(
-        functools.partial(_kernel, tw=tw, win=win, heads=num_heads, use_mask=use_mask),
+        functools.partial(
+            _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask
+        ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tw, N, N), lambda b, i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
             full((C, 3 * C)), full((1, 3 * C)),
             full((C, C)), full((1, C)),
@@ -164,7 +202,7 @@ def fused_swin_block(
             full((hidden, C)), full((1, C)),
         ],
         out_specs=pl.BlockSpec(
-            (1, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+            (bb, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(*args)
