@@ -33,10 +33,23 @@ def _coerce(value: str) -> Any:
     return value
 
 
+def _coerce_tree(v):
+    # yaml 1.1 reads `1e-5` as a string (mantissa-less exponent); hydra's
+    # OmegaConf reads it as a float — match hydra so checkpoint filename
+    # prefixes (str(l2_strength) etc.) agree between train and re-eval.
+    if isinstance(v, str):
+        return _coerce(v)
+    if isinstance(v, list):
+        return [_coerce_tree(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _coerce_tree(x) for k, x in v.items()}
+    return v
+
+
 def load_config(name: str, config_dir: Optional[str] = None) -> Dict[str, Any]:
     path = os.path.join(config_dir or CONFIG_DIR, name + ".yaml")
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        return {k: _coerce_tree(v) for k, v in (yaml.safe_load(f) or {}).items()}
 
 
 def parse_overrides(argv: List[str]):

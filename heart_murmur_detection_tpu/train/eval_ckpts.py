@@ -59,6 +59,8 @@ def evaluate_linear_head(
         prefix = "_".join(
             [head, use_feature, str(batch_size), str(lr), str(epochs), str(l2_strength), str(seed)]
         )
+        if loss == "weighted":  # reference appends this tag (eval_ckpts.py:78)
+            prefix += "_weighted"
         ckpt_path = _find_ckpt(ck_dir, prefix)
     params = load_params(ckpt_path)
 

@@ -267,6 +267,8 @@ def linear_evaluation_heart(
         name = "_".join(
             [head, use_feature, str(batch_size), str(lr), str(epochs), str(l2_strength), str(seed)]
         )
+        if loss == "weighted":  # disambiguates ckpts (eval_ckpts.py:78)
+            name += "_weighted"
         save_params(
             os.path.join(
                 save_ckpt_dir,

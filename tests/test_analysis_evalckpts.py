@@ -114,6 +114,54 @@ class TestEvalCkpts:
         assert out["test_auc"] == pytest.approx(res.test_auc, abs=1e-6)
 
 
+class TestEvalCkptsCLI:
+    def test_head_only_cli(self, tmp_path, monkeypatch, capsys):
+        """cli.eval_ckpts end-to-end: config resolve -> task routing ->
+        saved-head re-eval (eval_ckpts.py main:499-516)."""
+        monkeypatch.chdir(tmp_path)
+        from heart_murmur_detection_tpu.cli import eval_ckpts as cli
+        from heart_murmur_detection_tpu.train.linear_eval import linear_evaluation_heart
+
+        os.makedirs("feature/pascal_A_eval")
+        r = np.random.default_rng(0)
+        n = 60
+        y = r.integers(0, 2, n)
+        x = (r.standard_normal((n, 8)) + y[:, None]).astype(np.float32)
+        splits = np.array(["train"] * 40 + ["val"] * 10 + ["test"] * 10)
+        np.save("feature/pascal_A_eval/labels.npy", y)
+        np.save("feature/pascal_A_eval/train_test_split.npy", splits)
+        np.save("feature/pascal_A_eval/operaCT768_feature.npy", x)
+        linear_evaluation_heart(
+            seed=0,
+            use_feature="operaCT768",
+            dataset_name="pascal",
+            task="A",
+            feature_dir="feature/pascal_A_eval/",
+            labels_filename="labels.npy",
+            save_ckpt_dir="cks/linear/pascal_A/",
+        )
+        cli.main(
+            [
+                "task=pascal_A",
+                "pretrain=operaCT768",
+                "head_only=True",
+                "n_run=1",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "auc mean" in out and "test_auc" in out
+
+    def test_cross_task_split(self):
+        from heart_murmur_detection_tpu.cli.eval_ckpts import _split_finetuned
+
+        assert _split_finetuned("pascal_A") == ("pascal", "A")
+        assert _split_finetuned("physionet16") == ("physionet16", "")
+        assert _split_finetuned("zchsound_clean_murmurs") == (
+            "zchsound_clean",
+            "murmurs",
+        )
+
+
 class TestTopKCheckpointer:
     def test_keeps_best_k(self, tmp_path):
         ck = TopKCheckpointer(
