@@ -187,11 +187,21 @@ def train_multiple_data(
             valid_loss = float(np.mean(vl)) if vl else float("nan")
             valid_acc = float(np.mean(va)) if va else float("nan")
             train_loss = float(np.mean([float(l) for _, l in tr_losses]))
+            # per-corpus means, keyed train{s}_loss by corpus index like the
+            # reference's weighted-draw logging (models_cola.py:327-329)
+            per_corpus = {s: [] for s in range(len(sampler.corpora))}
+            for s, l in tr_losses:
+                per_corpus[s].append(float(l))
+            corpus_losses = {  # stable CSV header: every corpus, every epoch
+                f"train{s}_loss": (float(np.mean(v)) if v else float("nan"))
+                for s, v in sorted(per_corpus.items())
+            }
             logger.log(
                 epoch=epoch,
                 train_loss=train_loss,
                 valid_loss=valid_loss,
                 valid_acc=valid_acc,
+                **corpus_losses,
             )
             history.append(dict(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss, valid_acc=valid_acc))
             if verbose:

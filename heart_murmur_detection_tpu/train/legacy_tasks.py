@@ -113,6 +113,11 @@ def linear_evaluation_coswara(
     x_tr, x_va, y_tr, y_va = train_test_split(
         x_tr, y_tr, test_size=0.2, random_state=1337, stratify=y_tr
     )
+    if use_feature == "vggish":
+        # vggish needs a balanced train set here (linear_eval.py:511-513)
+        from ..utils.balance import downsample_balanced_dataset
+
+        x_tr, y_tr = downsample_balanced_dataset(x_tr, y_tr, seed=seed)
     return _lp(x_tr, y_tr, x_va, y_va, x_te, y_te, n_cls=2, head=head,
                lr=lr, l2_strength=l2_strength, epochs=epochs,
                batch_size=batch_size, seed=seed)

@@ -179,3 +179,27 @@ class TestTopKCheckpointer:
             save_params(str(tmp_path / f"a-valid_auc={v:.2f}.msgpack"), {"x": np.zeros(1)})
         best = find_best_ckpt(str(tmp_path), "a-*", metric="valid_auc", mode="max")
         assert best.endswith("0.90.msgpack")
+
+
+class TestBalanceAndPlots:
+    def test_downsample_balanced(self):
+        from heart_murmur_detection_tpu.utils.balance import (
+            downsample_balanced_dataset,
+        )
+
+        x = np.arange(40).reshape(20, 2)
+        y = np.array([0] * 12 + [1] * 5 + [2] * 3)
+        xd, yd = downsample_balanced_dataset(x, y, seed=0)
+        assert (np.bincount(yd) == [3, 3, 3]).all()
+        # rows stay aligned with their labels
+        for xi, yi in zip(xd, yd):
+            assert y[xi[0] // 2] == yi
+
+    def test_plot_melspectrogram(self, tmp_path):
+        from heart_murmur_detection_tpu.analysis.embeddings import (
+            plot_melspectrogram,
+        )
+
+        wav = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+        p = plot_melspectrogram(wav, title="sine", out_dir=str(tmp_path))
+        assert os.path.exists(p)

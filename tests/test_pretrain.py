@@ -83,6 +83,20 @@ class TestColaCP:
         assert np.isfinite(history[-1]["valid_loss"])
         # top-k ckpt saved only every 10 epochs -> none yet
         assert best is None
+        # per-corpus train{s}_loss columns (models_cola.py:327-329 naming)
+        import csv
+        import os
+
+        csv_path = os.path.join(
+            str(tmp_path / "logs"), "combined", "tiny-test", "metrics.csv"
+        )
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        assert "train0_loss" in rows[0] and "train1_loss" in rows[0]
+        vals = [float(r["train0_loss"]) for r in rows] + [
+            float(r["train1_loss"]) for r in rows
+        ]
+        assert any(np.isfinite(v) for v in vals)
 
     def test_ckpt_written_every_10(self, tmp_path):
         c1 = synth_corpus("a", 12, 40, 90, 16, 32)
