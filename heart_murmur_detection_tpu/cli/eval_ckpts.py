@@ -58,9 +58,10 @@ def evaluate_one(cfg, seed: int) -> float:
             freeze_encoder=cfg["freeze_encoder"],
             **common,
         )
-    for k, v in sorted(res.items()):
-        if isinstance(v, float):
-            print(f"  {k}: {v:.4f}")
+    from ..train.metrics import expand_per_class
+
+    for k, v in sorted(expand_per_class(res, ds, task).items()):
+        print(f"  {k}: {v:.4f}")
     return float(res["test_auc"])
 
 

@@ -276,9 +276,12 @@ def linear_evaluation_heart(
             ),
             res.params,
         )
-    wandb.log({"test_auc": res.test_auc, **{
-        k: v for k, v in res.metrics.items() if np.isscalar(v)
-    }})
+    from .metrics import expand_per_class
+
+    wandb.log({
+        "test_auc": res.test_auc,
+        **expand_per_class(res.metrics, dataset_name, task),
+    })
     wandb.finish()
     return res
 

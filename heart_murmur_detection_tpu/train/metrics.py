@@ -301,3 +301,44 @@ def compute_metrics(
         else:
             print(f"Unsupported metric: {m}")
     return out
+
+
+def get_int_to_label_mapping(
+    dataset: str, task: Optional[str] = None
+) -> Optional[Dict[str, str]]:
+    """Class-index -> label-name mapping from the feature dir's json
+    (models_eval.py:301-317). Returns None when no mapping file exists."""
+    import json
+    import os
+
+    if dataset == "physionet16":
+        path = f"feature/{dataset}_eval/int_to_label.json"
+    elif dataset in ("circor", "zchsound_clean", "zchsound_noisy"):
+        path = f"feature/{dataset}_eval/int_to_{task}.json"
+    elif dataset in ("pascal", "zchsound"):
+        path = f"feature/{dataset}_{task}_eval/int_to_label.json"
+    else:
+        return None
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def expand_per_class(
+    results: Dict[str, object], dataset: Optional[str], task: Optional[str]
+) -> Dict[str, float]:
+    """Flatten per-class metric arrays into `{metric}_{label}` scalars the way
+    the reference logs them (models_eval.py log_metrics:584-600); scalar
+    entries pass through unchanged."""
+    mapping = get_int_to_label_mapping(dataset, task) if dataset else None
+    out: Dict[str, float] = {}
+    for k, v in results.items():
+        arr = np.asarray(v)
+        if arr.ndim == 1 and arr.size > 1:
+            for i, val in enumerate(arr):
+                label = (mapping or {}).get(str(i), str(i))
+                out[f"{k}_{label}"] = float(val)
+        elif arr.ndim == 0:
+            out[k] = float(arr)
+    return out

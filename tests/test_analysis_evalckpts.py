@@ -203,3 +203,31 @@ class TestBalanceAndPlots:
         wav = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
         p = plot_melspectrogram(wav, title="sine", out_dir=str(tmp_path))
         assert os.path.exists(p)
+
+
+class TestPerClassLabels:
+    def test_expand_with_mapping(self, tmp_path, monkeypatch):
+        import json
+
+        from heart_murmur_detection_tpu.train.metrics import expand_per_class
+
+        monkeypatch.chdir(tmp_path)
+        os.makedirs("feature/pascal_A_eval")
+        with open("feature/pascal_A_eval/int_to_label.json", "w") as f:
+            json.dump({"0": "normal", "1": "murmur"}, f)
+        out = expand_per_class(
+            {"unweighted_recall": np.array([0.9, 0.4]), "macro_F1": 0.6},
+            "pascal",
+            "A",
+        )
+        assert out == {
+            "unweighted_recall_normal": pytest.approx(0.9),
+            "unweighted_recall_murmur": pytest.approx(0.4),
+            "macro_F1": pytest.approx(0.6),
+        }
+
+    def test_expand_without_mapping_falls_back_to_index(self):
+        from heart_murmur_detection_tpu.train.metrics import expand_per_class
+
+        out = expand_per_class({"r": np.array([0.1, 0.2])}, "nosuchds", "x")
+        assert set(out) == {"r_0", "r_1"}
