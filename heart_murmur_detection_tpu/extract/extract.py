@@ -200,11 +200,18 @@ class FeatureExtractor:
             loader=_load,
         )
         out = np.zeros((len(paths), self.dim), np.float32)
+        pending = None  # one-deep pipeline: dispatch batch i+1 before syncing i
         for lo, k, wav, lengths in loader:
             if self.transfer_int16:
                 wav = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
-            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
-            out[lo : lo + k] = f[:k]
+            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            if pending is not None:
+                plo, pk, pf = pending
+                out[plo : plo + pk] = np.asarray(pf)[:pk]
+            pending = (lo, k, fut)
+        if pending is not None:
+            plo, pk, pf = pending
+            out[plo : plo + pk] = np.asarray(pf)[:pk]
         return out
 
     def extract_waveforms(
@@ -214,13 +221,20 @@ class FeatureExtractor:
         bs = self.batch_size
         if max_len is None:
             max_len = max(len(c) for c in clips)
+        pending = None  # one-deep pipeline: next transfer overlaps compute
         for lo, hi in _batched(len(clips), bs):
             chunk = clips[lo:hi]
             if len(chunk) < bs:  # pad batch to fixed size, drop extras after
                 chunk = chunk + [chunk[0]] * (bs - len(chunk))
             wav, lengths = dsp.pad_batch(chunk, max_len=max_len, dtype=self._xfer_dtype)
-            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
-            out.append(f[: hi - lo])
+            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            if pending is not None:
+                pf, pn = pending
+                out.append(np.asarray(pf)[:pn])
+            pending = (fut, hi - lo)
+        if pending is not None:
+            pf, pn = pending
+            out.append(np.asarray(pf)[:pn])
         return np.concatenate(out, axis=0)
 
     # chunked models (operaGT / audiomae)
@@ -250,13 +264,20 @@ class FeatureExtractor:
             max_len = ((int(self.input_sec * SR) + 511) // 512) * 512
         out = []
         bs = self.batch_size
+        pending = None
         for lo, hi in _batched(len(chunks), bs):
             part = chunks[lo:hi]
             if len(part) < bs:
                 part = part + [part[0]] * (bs - len(part))
             wav, lengths = dsp.pad_batch(part, max_len=max_len, dtype=self._xfer_dtype)
-            f = np.asarray(self._fn(jnp.asarray(wav), jnp.asarray(lengths)))
-            out.append(f[: hi - lo])
+            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            if pending is not None:
+                pf, pn = pending
+                out.append(np.asarray(pf)[:pn])
+            pending = (fut, hi - lo)
+        if pending is not None:
+            pf, pn = pending
+            out.append(np.asarray(pf)[:pn])
         return np.concatenate(out, axis=0)
 
 

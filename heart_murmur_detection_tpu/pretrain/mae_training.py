@@ -115,6 +115,7 @@ def mae_train_multiple_data(
     for epoch in range(start_epoch, n_epoches):
         t0 = time.time()
         tr = []
+        per_corpus = {s: [] for s in range(len(sampler.corpora))}
         for _ in range(sampler.steps_per_epoch):
             s, x = sampler.next_batch()
             xb = jnp.asarray(x)
@@ -123,6 +124,7 @@ def mae_train_multiple_data(
             step_rng, k = jax.random.split(step_rng)
             params, opt_state, loss = train_step(params, opt_state, xb, k)
             tr.append(float(loss))
+            per_corpus[s].append(float(loss))
         vl = []
         for s, x in sampler.val_batches():
             xb = jnp.asarray(x)
@@ -132,7 +134,16 @@ def mae_train_multiple_data(
             vl.append(float(eval_step(params, xb, k)))
         valid_loss = float(np.mean(vl)) if vl else float("nan")
         train_loss = float(np.mean(tr))
-        logger.log(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss)
+        logger.log(
+            epoch=epoch,
+            train_loss=train_loss,
+            valid_loss=valid_loss,
+            # per-drawn-corpus columns, same naming as the COLA CP logger
+            **{
+                f"train{s}_loss": (float(np.mean(v)) if v else float("nan"))
+                for s, v in sorted(per_corpus.items())
+            },
+        )
         history.append(dict(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss))
         if verbose:
             print(
