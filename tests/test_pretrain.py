@@ -136,3 +136,14 @@ class TestMaeCP:
         assert len(history) == 2
         assert np.isfinite(history[-1]["valid_loss"])
         assert history[-1]["train_loss"] > 0.0
+        # per-corpus columns mirror the COLA CP logger
+        import csv
+        import os
+
+        csv_path = os.path.join(
+            str(tmp_path / "logs"), "combined", "tiny-mae", "metrics.csv"
+        )
+        with open(csv_path) as f:
+            rows = list(csv.DictReader(f))
+        assert "train0_loss" in rows[0]
+        assert np.isfinite(float(rows[-1]["train0_loss"]))
