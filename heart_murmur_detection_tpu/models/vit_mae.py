@@ -150,12 +150,18 @@ class SwinV2CRBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         H, W = self.feat_size
+        B, L, C = x.shape
+        if L != H * W:
+            # variable-length input (multi-corpus CP feeds per-corpus max_len):
+            # the freq-patch count W is fixed by the mel bins, time varies.
+            # The reference's MD decoder instead hard-codes feat_size and a
+            # view(B,H,W,L) shape hack (models_mae.py:663,398) — built sanely
+            # here: derive the time grid from the actual token count.
+            H = L // W
         wh = min(self.window[0], H)
         ww = min(self.window[1], W)
         sh = 0 if H <= self.window[0] else self.shift[0]
         sw = 0 if W <= self.window[1] else self.shift[1]
-
-        B, L, C = x.shape
         h = x.reshape(B, H, W, C)
         if sh or sw:
             h = jnp.roll(h, (-sh, -sw), axis=(1, 2))

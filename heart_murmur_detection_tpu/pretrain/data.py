@@ -175,6 +175,14 @@ class MultiCorpusSampler:
 
     def _cycle(self, corpus: Corpus):
         n = len(corpus.train)
+        if self.drop_last and n < self.bs:
+            # a pass would yield zero batches and the while-loop would spin
+            # forever; cycle items across passes to fill one full batch
+            while True:
+                order = np.concatenate(
+                    [self.rng.permutation(n) for _ in range(-(-self.bs // n))]
+                )[: self.bs]
+                yield [corpus.train[j] for j in order]
         while True:
             order = self.rng.permutation(n)
             end = (n // self.bs) * self.bs if self.drop_last else n

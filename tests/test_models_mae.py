@@ -82,3 +82,24 @@ class TestAudioMAE:
         # rows i=a*3+b: first 4 dims from b (w), last 4 from a (h)
         np.testing.assert_allclose(body[0][:4], body[3][:4], atol=1e-7)  # same b=0
         assert not np.allclose(body[0][4:], body[3][4:])  # different a
+
+
+def test_mae_variable_length_input():
+    """Multi-corpus CP feeds per-corpus max_len; the decoder grid must follow
+    the actual token count (the reference hard-codes feat_size + a
+    view(B,H,W,L) hack instead, models_mae.py:663)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_pretrain import TINY_MAE
+
+    model = MaskedAutoencoderViT(TINY_MAE)
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}
+    v = model.init(rngs, jnp.zeros((1,) + TINY_MAE.img_size))
+    # half-length input: (16, 16) vs img_size (32, 16)
+    short = jnp.zeros((2, TINY_MAE.img_size[0] // 2, TINY_MAE.img_size[1]))
+    loss, pred, mask = model.apply(
+        v, short, rngs={"masking": jax.random.PRNGKey(2)}
+    )
+    assert pred.shape[1] == mask.shape[1]  # tokens of the SHORT input
+    assert bool(jnp.isfinite(loss))

@@ -147,3 +147,12 @@ class TestMaeCP:
             rows = list(csv.DictReader(f))
         assert "train0_loss" in rows[0]
         assert np.isfinite(float(rows[-1]["train0_loss"]))
+
+
+def test_sampler_small_corpus_drop_last_does_not_hang():
+    """mae method uses drop_last=True; a corpus smaller than the batch size
+    must still yield full batches (regression: _cycle spun forever)."""
+    c = synth_corpus("tiny", 3, 20, 40, 16, 32)
+    s = MultiCorpusSampler([c], batch_size=8, method="mae", seed=0)
+    idx, x = s.next_batch()
+    assert x.shape == (8, 32, 16)
