@@ -29,7 +29,7 @@ def main():
 
     SR = 16000
     CLIP_SEC = 10.0
-    N_CLIPS = int(os.environ.get("HMDT_BENCH_CLIPS", 128))
+    N_CLIPS = int(os.environ.get("HMDT_BENCH_CLIPS", 256))
     BATCH = 64
 
     r = np.random.default_rng(0)
@@ -50,7 +50,8 @@ def main():
 
     wav, lengths = dsp.pad_batch(clips[:BATCH], max_len=max_len)
     wavj, lenj = jnp.asarray(wav), jnp.asarray(lengths)
-    np.asarray(batched(wavj, lenj))  # compile + warm
+    np.asarray(batched(wavj, lenj))  # compile
+    np.asarray(batched(wavj, lenj))  # warm
 
     # (a) device-resident throughput: the chip's mel+encoder capability
     t0 = time.time()

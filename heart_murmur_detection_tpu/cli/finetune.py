@@ -30,6 +30,7 @@ def main(argv=None):
                 freeze_encoder=cfg["freeze_encoder"],
                 loss=cfg["loss"],
                 spec_augment=cfg["spec_augment"],
+                random_init=cfg.get("random_init", False),
             )
             print(f"seed {seed}: test_auc {res.test_auc:.4f} (best epoch {res.best_epoch})")
             scores.append(res.test_auc)
