@@ -124,3 +124,51 @@ class TopKCheckpointer:
     @property
     def best_path(self) -> Optional[str]:
         return self.kept[0][1] if self.kept else None
+
+
+class OrbaxResumeCheckpointer:
+    """Orbax-backed variant of ResumeCheckpointer: async-capable, versioned
+    step directories with retention (max_to_keep), and atomic finalization —
+    preferable for long CP runs on shared filesystems. Same save/restore
+    surface as ResumeCheckpointer."""
+
+    def __init__(self, dirpath: str, every_n_epochs: int = 5, max_to_keep: int = 1):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.dir = os.path.abspath(os.path.join(dirpath, "orbax"))
+        self.every = every_n_epochs
+        self.mngr = ocp.CheckpointManager(
+            self.dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, epoch: int, variables, opt_state, extra: Optional[dict] = None):
+        if (epoch + 1) % self.every != 0:
+            return
+        payload = {
+            "variables": jax.device_get(variables),
+            "opt_state": ser.to_state_dict(jax.device_get(opt_state)),
+        }
+        # arrays go through StandardSave; extra may hold strings -> JSON item
+        self.mngr.save(
+            epoch,
+            args=self._ocp.args.Composite(
+                state=self._ocp.args.StandardSave(payload),
+                extra=self._ocp.args.JsonSave(extra or {}),
+            ),
+        )
+        self.mngr.wait_until_finished()
+
+    def restore(self, opt_state_target=None):
+        step = self.mngr.latest_step()
+        if step is None:
+            return None
+        out = self.mngr.restore(step)
+        p, extra = out["state"], out.get("extra") or {}
+        opt = p["opt_state"]
+        if opt_state_target is not None:
+            opt = ser.from_state_dict(opt_state_target, opt)
+        return int(step), p["variables"], opt, extra

@@ -42,3 +42,33 @@ class TestResume:
             resume=True,
         )
         assert [x["epoch"] for x in h] == [0, 1]
+
+
+class TestOrbaxResume:
+    def test_save_restore_latest(self, tmp_path):
+        import numpy as np
+        import optax
+
+        from heart_murmur_detection_tpu.train.checkpoints import (
+            OrbaxResumeCheckpointer,
+        )
+
+        params = {"w": np.ones((3, 2), np.float32) * 7}
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+        ck = OrbaxResumeCheckpointer(str(tmp_path), every_n_epochs=1, max_to_keep=2)
+        ck.save(4, {"params": params}, opt, extra={"note": "x"})
+        ck.save(9, {"params": {"w": params["w"] * 2}}, opt, extra={"note": "y"})
+        ep, variables, opt2, extra = ck.restore(opt_state_target=tx.init(params))
+        assert ep == 9
+        assert float(np.asarray(variables["params"]["w"])[0, 0]) == 14.0
+        assert extra == {"note": "y"}
+        assert type(opt2) is type(opt)
+
+    def test_restore_empty_returns_none(self, tmp_path):
+        from heart_murmur_detection_tpu.train.checkpoints import (
+            OrbaxResumeCheckpointer,
+        )
+
+        ck = OrbaxResumeCheckpointer(str(tmp_path))
+        assert ck.restore() is None
