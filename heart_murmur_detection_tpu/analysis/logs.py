@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 def read_csv_log(path: str) -> dict:

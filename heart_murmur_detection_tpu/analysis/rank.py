@@ -4,7 +4,7 @@ MAE (lower better). The published matrix ships as data (BASELINE.md §1)."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 from scipy.stats import rankdata

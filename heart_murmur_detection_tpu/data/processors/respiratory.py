@@ -6,11 +6,10 @@ covid19sounds, coswara. Each writes the feature-dir artifacts its LP driver
 
 from __future__ import annotations
 
-import collections
 import csv
 import glob
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

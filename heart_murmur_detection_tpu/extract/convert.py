@@ -20,7 +20,7 @@ and converted trees are cached as msgpack next to the source checkpoint.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

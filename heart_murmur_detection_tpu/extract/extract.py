@@ -15,7 +15,6 @@ one compiled graph per (model, batch) shape.
 
 from __future__ import annotations
 
-import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -25,7 +24,7 @@ import numpy as np
 from ..audio import dsp, pipelines
 from ..audio.pad import split_pad_sample, split_sample_simple
 from ..models.cola import Cola
-from ..models.vit_mae import AudioMAEClassifierBackbone, MaskedAutoencoderViT
+from ..models.vit_mae import MaskedAutoencoderViT
 from . import registry
 
 SR = 16000
@@ -54,8 +53,8 @@ class FeatureExtractor:
         transfer_int16: bool = True,
     ):
         # use_fused_htsat: models.htsat_fused forward (fused Pallas swin
-        # blocks): ~5% faster steady-state and ~4.5x faster first compile;
-        # features match the flax path to cosine 0.99999 (erf approximation)
+        # blocks): runtime parity with the XLA path, ~4.5x faster first
+        # compile; features match to cosine 0.99999 (erf approximation)
         self.use_fused_htsat = use_fused_htsat
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).

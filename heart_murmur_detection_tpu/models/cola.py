@@ -12,7 +12,6 @@ middle, usually == dim_fea), or dim_out (after g, 512).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -12,10 +12,9 @@
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 _head_init = nn.initializers.normal(0.01)
 

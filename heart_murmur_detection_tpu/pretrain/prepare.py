@@ -12,7 +12,6 @@ In-domain variant reads train_test_pretrain_split.npy and keeps
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 

@@ -16,11 +16,9 @@ models_cola.py:249-261).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from ..models.cola import Cola, cola_loss

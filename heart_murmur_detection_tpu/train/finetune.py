@@ -19,7 +19,6 @@ and drop-path run on device with explicit PRNG keys.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 from typing import Dict, Optional, Sequence
 

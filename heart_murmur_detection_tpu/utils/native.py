@@ -8,7 +8,7 @@ import ctypes
 import os
 import queue
 import threading
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
