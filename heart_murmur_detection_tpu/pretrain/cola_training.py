@@ -86,9 +86,10 @@ def train_multiple_data(
             load_corpus(name, max_len, "cola", manifest=manifest_fn(name) if manifest_fn else None)
             for name, max_len in data_source.items()
         ]
-    # with a device mesh, batches must divide evenly across the data axis
+    # with a device mesh, batches must divide evenly across the data axis, so
+    # force drop_last; otherwise keep the method default (cola: keep tails)
     sampler = MultiCorpusSampler(
-        corpora, batch_size, "cola", seed=seed, drop_last=mesh is not None or None
+        corpora, batch_size, "cola", seed=seed, drop_last=True if mesh is not None else None
     )
 
     tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)

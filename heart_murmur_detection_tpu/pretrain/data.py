@@ -90,10 +90,6 @@ class Corpus:
     val: List[np.ndarray]
     max_len: int
 
-    @property
-    def n_train_batches(self) -> int:
-        return 0
-
 
 def load_corpus(
     name: str,
@@ -199,7 +195,10 @@ class MultiCorpusSampler:
             x1 = np.stack([p[0] for p in pairs])
             x2 = np.stack([p[1] for p in pairs])
             return s, (x1, x2)
-        xs = [mae_item_np(self.rng, np_random_mask(self.rng, x), c.max_len) for x in items]
+        # mae/audiomae items are crop-or-zero-pad ONLY: the reference's
+        # AudioDataset ignores self.augment for these methods
+        # (mae_training.py:86-107 — no random_mask in the mae/audiomae branch)
+        xs = [mae_item_np(self.rng, x, c.max_len) for x in items]
         return s, np.stack(xs)
 
     def val_batches(self, augment: bool = True):
@@ -221,8 +220,5 @@ class MultiCorpusSampler:
                         np.stack([p[1] for p in pairs]),
                     )
                 else:
-                    xs = [
-                        mae_item_np(self.rng, np_random_mask(self.rng, x), c.max_len)
-                        for x in items
-                    ]
+                    xs = [mae_item_np(self.rng, x, c.max_len) for x in items]
                     yield s, np.stack(xs)

@@ -279,7 +279,11 @@ def finetune_classifier(
     best_auc, best_epoch = -1.0, -1
     best = (params, batch_stats)
     stopped = epochs - 1
-    wait = 0
+    # PL EarlyStopping(valid_auc, mode=max, min_delta=0.001, patience=10)
+    # semantics (finetuning.py:1316-1318): es_best only moves on an
+    # improvement strictly exceeding min_delta, and wait resets on that same
+    # condition. Tracked separately from best_auc (ModelCheckpoint best).
+    es_best, wait = -np.inf, 0
     for e in range(epochs):
         rng, k = jax.random.split(rng)
         params, batch_stats, opt_state = run_epoch(
@@ -287,18 +291,15 @@ def finetune_classifier(
         )
         probs_v = predict_batched(params, batch_stats, x_val)
         vauc = M.auroc(y_val, probs_v, n_cls, "macro")
-        if vauc > best_auc + (0 if best_epoch < 0 else 0):
-            pass
         if vauc > best_auc:
             best_auc, best_epoch, best = vauc, e, (params, batch_stats)
-        # EarlyStopping(min_delta=0.001, patience=10) on valid_auc
-        if e > 0 and vauc < best_auc + min_delta:
+        if vauc - min_delta > es_best:
+            es_best, wait = vauc, 0
+        else:
             wait += 1
             if wait >= patience:
                 stopped = e
                 break
-        else:
-            wait = 0
 
     params, batch_stats = best
     result_metrics: Dict[str, object] = {}

@@ -83,6 +83,9 @@ long hmdt_decode_wav(const char* path, float** out, int* sr_out) {
     std::memcpy(&csize, raw.data() + pos + 4, 4);
     const uint8_t* body = raw.data() + pos + 8;
     if (!std::memcmp(raw.data() + pos, "fmt ", 4)) {
+      // fmt body must fit in the buffer: 16 bytes read unconditionally and
+      // 26 for WAVE_FORMAT_EXTENSIBLE (truncated files over-read otherwise)
+      if (csize < 16 || pos + 8 + (size_t)csize > (size_t)size) return -1;
       uint16_t afmt, ch, b;
       uint32_t rate;
       std::memcpy(&afmt, body, 2);
@@ -99,7 +102,10 @@ long hmdt_decode_wav(const char* path, float** out, int* sr_out) {
       data_size = csize;
       if (pos + 8 + data_size > (size_t)size) data_size = (uint32_t)(size - pos - 8);
     }
-    pos += 8 + csize + (csize & 1);
+    // clamp the advance so a bogus csize can't wrap pos past the buffer
+    size_t adv = (size_t)csize + ((size_t)csize & 1);
+    if (adv > (size_t)size - pos - 8) break;
+    pos += 8 + adv;
   }
   if (!data || !channels || !bits || (fmt != 1 && fmt != 3)) return -1;
 
