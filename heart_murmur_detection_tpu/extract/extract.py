@@ -51,6 +51,7 @@ class FeatureExtractor:
         use_pallas_mel: bool = False,
         use_fused_htsat: bool = False,
         transfer_int16: bool = True,
+        mesh=None,
     ):
         # use_fused_htsat: models.htsat_fused forward (fused Pallas swin
         # blocks): runtime parity with the XLA path, ~4.5x faster first
@@ -74,8 +75,28 @@ class FeatureExtractor:
         self.model, self.variables = registry.initialize_pretrained_model(
             pretrain, ckpt_path=ckpt_path, random_init=random_init
         )
+        # mesh: optional jax.sharding.Mesh with a 'data' axis; batches shard
+        # over it and GSPMD replicates the params (SURVEY §2.10)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel.mesh import put_replicated
+
+            n_mesh = mesh.devices.size
+            if batch_size % n_mesh:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh size {n_mesh}"
+                )
+            self.variables = put_replicated(self.variables, mesh)
         self.max_sec = 32 if "operaCT" in pretrain else None
         self._fn = self._build()
+
+    def _dispatch(self, wav: np.ndarray, lengths: np.ndarray):
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            wav, lengths = shard_batch((wav, lengths), self.mesh)
+            return self._fn(wav, lengths)
+        return self._fn(jnp.asarray(wav), jnp.asarray(lengths))
 
     # -- device graphs -------------------------------------------------------
     def _mel(self, wav, lengths):
@@ -203,7 +224,7 @@ class FeatureExtractor:
         for lo, k, wav, lengths in loader:
             if self.transfer_int16:
                 wav = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
-            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            fut = self._dispatch(wav, lengths)
             if pending is not None:
                 plo, pk, pf = pending
                 out[plo : plo + pk] = np.asarray(pf)[:pk]
@@ -226,7 +247,7 @@ class FeatureExtractor:
             if len(chunk) < bs:  # pad batch to fixed size, drop extras after
                 chunk = chunk + [chunk[0]] * (bs - len(chunk))
             wav, lengths = dsp.pad_batch(chunk, max_len=max_len, dtype=self._xfer_dtype)
-            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn = pending
                 out.append(np.asarray(pf)[:pn])
@@ -242,8 +263,14 @@ class FeatureExtractor:
         owners: List[int] = []
         for i, p in enumerate(paths):
             for c in self._chunks(p):
-                # reference requires >=16 mel frames per chunk
-                if len(c) // 512 + 1 >= 16:
+                # operaGT keeps chunks with >=16 mel frames
+                # (model_util.py:148 `x.shape[0]>=16`, hop 512). audiomae
+                # keeps every chunk >400 samples (_chunks filter): the
+                # reference's fbank gate `x.shape[1] >= 16`
+                # (extract_feature.py:156) tests the 128-bin axis and is
+                # vacuous, so short tails are KEPT and zero-padded to
+                # (1024,128) inside forward_feature.
+                if self.is_audiomae or len(c) // 512 + 1 >= 16:
                     all_chunks.append(c)
                     owners.append(i)
         feats = self.extract_chunk_waveforms(all_chunks)
@@ -269,7 +296,7 @@ class FeatureExtractor:
             if len(part) < bs:
                 part = part + [part[0]] * (bs - len(part))
             wav, lengths = dsp.pad_batch(part, max_len=max_len, dtype=self._xfer_dtype)
-            fut = self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn = pending
                 out.append(np.asarray(pf)[:pn])

@@ -1,6 +1,6 @@
 from .mesh import (
     data_parallel_mesh,
-    make_data_parallel_step,
+    put_replicated,
     replicate_sharding,
     shard_batch,
 )

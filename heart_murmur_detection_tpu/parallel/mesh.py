@@ -12,7 +12,7 @@ for <=ViT-L encoders but the helpers accept arbitrary axis layouts so a
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
@@ -35,13 +35,6 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def make_data_parallel_step(step_fn: Callable, donate_argnums: Sequence[int] = ()):
-    """jit a training step for data-parallel execution: callers place params
-    via put_replicated and batches via shard_batch; GSPMD propagates the
-    shardings and inserts the gradient psum over ICI."""
-    return jax.jit(step_fn, donate_argnums=tuple(donate_argnums))
 
 
 def put_replicated(tree, mesh: Mesh):

@@ -52,6 +52,26 @@ class TestExtractorPaths:
         assert f.shape == (3, 768)
         assert np.isfinite(f).all()
 
+    def test_audiomae_keeps_short_tail_chunks(self, tmp_path):
+        """A clip with a ~1 s tail after the 10 s window: the tail chunk must
+        participate in the per-clip mean (extract_feature.py:213-247 keeps
+        every chunk >400 samples; its fbank-side gate `x.shape[1] >= 16`
+        tests the 128-bin axis and filters nothing)."""
+        r = np.random.default_rng(7)
+        y = (0.2 * r.standard_normal(int(11.0 * 16000))).astype(np.float32)
+        p = str(tmp_path / "tail.wav")
+        write_wav(p, y, 16000)
+        ex = FeatureExtractor(
+            "audiomae", dim=768, input_sec=10, random_init=True, batch_size=4
+        )
+        chunks = ex._chunks(p)
+        assert len(chunks) == 2 and len(chunks[1]) < 10 * 16000, "tail missing"
+        f = ex.extract_files([p])
+        per_chunk = ex.extract_chunk_waveforms(chunks)
+        np.testing.assert_allclose(f[0], per_chunk.mean(axis=0), atol=1e-5)
+        # and the mean over BOTH chunks differs from the head chunk alone
+        assert not np.allclose(f[0], per_chunk[0], atol=1e-4)
+
     def test_operace_masked_pool(self, wav_dir):
         ex = FeatureExtractor(
             "operaCE", dim=1280, input_sec=8, random_init=True, batch_size=2
