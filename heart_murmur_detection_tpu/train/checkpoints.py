@@ -83,7 +83,14 @@ class ResumeCheckpointer:
 
 class TopKCheckpointer:
     """save_top_k behavior of pl.ModelCheckpoint (cola_training.py:266-273):
-    keep the k best checkpoints by a monitored metric, save every N epochs."""
+    keep the k best checkpoints by a monitored metric, save every N epochs.
+
+    Note on cadence composition: step() applies its own every_n_epochs gate
+    ON TOP of the caller's. The CP loops only call step() on eval epochs
+    ((epoch+1) % eval_every == 0), so checkpoints land on epochs divisible by
+    BOTH cadences — e.g. eval_every=3 with every_n_epochs=10 saves every 30
+    epochs. Pass every_n_epochs=1 (or a multiple of eval_every) if the caller
+    already controls the cadence."""
 
     def __init__(
         self,

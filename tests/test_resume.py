@@ -72,3 +72,25 @@ class TestOrbaxResume:
 
         ck = OrbaxResumeCheckpointer(str(tmp_path))
         assert ck.restore() is None
+
+
+class TestTopKCadence:
+    def test_every_n_epochs_composes_with_caller_gate(self, tmp_path):
+        """step() gates on its own cadence: a caller that itself only calls on
+        eval epochs gets saves on epochs divisible by BOTH (docstring)."""
+        from heart_murmur_detection_tpu.train.checkpoints import TopKCheckpointer
+
+        ck = TopKCheckpointer(
+            dirpath=str(tmp_path),
+            filename_fmt="e{epoch:02d}-{valid_loss:.2f}.msgpack",
+            every_n_epochs=4,
+            save_top_k=10,
+        )
+        eval_every = 2
+        saved = []
+        for epoch in range(12):
+            if (epoch + 1) % eval_every == 0:  # caller-side eval gate
+                p = ck.step(epoch, 1.0 - epoch * 0.01, {"w": [float(epoch)]})
+                if p:
+                    saved.append(epoch)
+        assert saved == [3, 7, 11]  # (epoch+1) % lcm(2,4) == 0
