@@ -21,10 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio import dsp, pipelines
+from ..audio import dsp, pipelines, wire
 from ..audio.pad import split_pad_sample, split_sample_simple
 from ..models.cola import Cola
 from ..models.vit_mae import MaskedAutoencoderViT
+from ..ops.resample import resample_poly_device
 from . import registry
 
 SR = 16000
@@ -50,7 +51,8 @@ class FeatureExtractor:
         compute_dtype=jnp.float32,
         use_pallas_mel: bool = False,
         use_fused_htsat: bool = False,
-        transfer_int16: bool = True,
+        wire_format: str = "int16",
+        source_sr: Optional[int] = None,
         mesh=None,
     ):
         # use_fused_htsat: models.htsat_fused forward (fused Pallas swin
@@ -60,10 +62,24 @@ class FeatureExtractor:
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).
         self.use_pallas_mel = use_pallas_mel
-        # transfer_int16: ship waveforms host->device as PCM16 (exact for
-        # 16-bit-sourced audio; halves transfer bytes; converted on device)
-        self.transfer_int16 = transfer_int16
-        self._xfer_dtype = np.int16 if transfer_int16 else np.float32
+        # wire_format: host->device waveform packing (audio.wire). "int16"
+        # (default) is exact for 16-bit-sourced PCM at half the f32 bytes;
+        # "mulaw" halves again (~38 dB SNR, drift pinned in tests/test_wire.py).
+        self.wire = wire_format
+        wire.wire_dtype(wire_format)  # validate early
+        # source_sr: ship waveforms at the corpus's native sample rate
+        # (CirCor 4 kHz, PhysioNet-2016 2 kHz) and upsample to 16 kHz on
+        # device (ops.resample, scipy-parity FIR). Cuts link bytes by
+        # 16000/source_sr losslessly; the host pipeline (decode/trim/pad
+        # policy) runs at source rate — trim_heart's frame is sr-relative
+        # (src/util.py:237-243) so boundaries land at the same instants.
+        self.source_sr = source_sr
+        if source_sr is not None:
+            if SR % source_sr or (512 % (SR // source_sr)):
+                raise ValueError(
+                    f"source_sr must divide {SR} with power-of-two ratio <=512"
+                )
+        self._up = SR // source_sr if source_sr else 1
         self.pretrain = pretrain
         self.is_mae = "mae" in pretrain or "GT" in pretrain
         self.is_audiomae = "audiomae" in pretrain
@@ -99,6 +115,14 @@ class FeatureExtractor:
         return self._fn(jnp.asarray(wav), jnp.asarray(lengths))
 
     # -- device graphs -------------------------------------------------------
+    def _prologue(self, wav, lengths):
+        """Wire decode + (optional) source-rate -> 16 kHz upsample, on device."""
+        wav = wire.decode_device(wav, self.wire)
+        if self._up != 1:
+            wav = resample_poly_device(wav, self._up)
+            lengths = (lengths * self._up).astype(lengths.dtype)
+        return wav, lengths
+
     def _mel(self, wav, lengths):
         if self.use_pallas_mel:
             from ..ops.pallas_mel import mel_frontend_pallas
@@ -113,6 +137,7 @@ class FeatureExtractor:
 
             @jax.jit
             def fn(wav, lengths):
+                wav, lengths = self._prologue(wav, lengths)
                 fb, nf = dsp.kaldi_fbank_frontend(wav, lengths)
                 return model.apply(variables, fb)
 
@@ -122,6 +147,7 @@ class FeatureExtractor:
 
             @jax.jit
             def fn(wav, lengths):
+                wav, lengths = self._prologue(wav, lengths)
                 mel, nf = self._mel(wav, lengths)
                 mel = mel[:, :256]
                 return model.apply(
@@ -143,6 +169,7 @@ class FeatureExtractor:
 
             @jax.jit
             def fn(wav, lengths):
+                wav, lengths = self._prologue(wav, lengths)
                 mel, nf = self._mel(wav, lengths)
                 return htsat_apply_fused(enc_vars, mel, nf, HTSATConfig())
 
@@ -150,6 +177,7 @@ class FeatureExtractor:
 
         @jax.jit
         def fn(wav, lengths):
+            wav, lengths = self._prologue(wav, lengths)
             mel, nf = self._mel(wav, lengths)
             return model.apply(
                 variables, mel, dim, nf, method=Cola.extract_feature
@@ -158,19 +186,30 @@ class FeatureExtractor:
         return fn
 
     # -- host orchestration ----------------------------------------------------
+    @property
+    def _host_sr(self) -> int:
+        return self.source_sr or SR
+
     def _clip_waveform(self, path: str) -> Optional[np.ndarray]:
         types = "zero" if self.pad0 else "repeat"
         return pipelines.get_entire_signal(
-            path, input_sec=self.input_sec, pad=True, types=types, max_sec=self.max_sec
+            path,
+            input_sec=self.input_sec,
+            sample_rate=self._host_sr,
+            pad=True,
+            types=types,
+            max_sec=self.max_sec,
         )
 
     def _chunks(self, path: str) -> List[np.ndarray]:
+        sr = self._host_sr
         if self.is_audiomae:
-            yt = pipelines._load_trim(path, SR, None, 200, 1800)
-            chunks = split_sample_simple(yt, 10, SR)
-            return [c - c.mean() for c in chunks if len(c) > 400]
-        yt = pipelines._load_trim(path, SR, None, 200, 1800)
-        return split_pad_sample(yt, self.input_sec, SR)
+            yt = pipelines._load_trim(path, sr, None, 200, 1800)
+            chunks = split_sample_simple(yt, 10, sr)
+            # keep-gate is defined in 16 kHz samples (>400, i.e. >25 ms)
+            return [c - c.mean() for c in chunks if len(c) * self._up > 400]
+        yt = pipelines._load_trim(path, sr, None, 200, 1800)
+        return split_pad_sample(yt, self.input_sec, sr)
 
     def extract_files(self, sound_dir_loc: Sequence[str]) -> np.ndarray:
         if self.is_mae or self.is_audiomae:
@@ -181,11 +220,12 @@ class FeatureExtractor:
     def _extract_whole(self, paths) -> np.ndarray:
         from ..utils import native
 
-        if self.max_sec and native.native_available():
+        if self.max_sec and native.native_available() and self.source_sr is None:
             return self._extract_whole_native(paths)
+        sr = self._host_sr
         clips = [self._clip_waveform(p) for p in paths]
         max_len = (
-            int((self.max_sec or max(len(c) / SR for c in clips)) * SR)
+            int((self.max_sec or max(len(c) / sr for c in clips)) * sr)
             if clips
             else 0
         )
@@ -222,8 +262,7 @@ class FeatureExtractor:
         out = np.zeros((len(paths), self.dim), np.float32)
         pending = None  # one-deep pipeline: dispatch batch i+1 before syncing i
         for lo, k, wav, lengths in loader:
-            if self.transfer_int16:
-                wav = np.clip(np.round(wav * 32768.0), -32768, 32767).astype(np.int16)
+            wav = wire.encode_np(wav, self.wire)
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 plo, pk, pf = pending
@@ -246,7 +285,10 @@ class FeatureExtractor:
             chunk = clips[lo:hi]
             if len(chunk) < bs:  # pad batch to fixed size, drop extras after
                 chunk = chunk + [chunk[0]] * (bs - len(chunk))
-            wav, lengths = dsp.pad_batch(chunk, max_len=max_len, dtype=self._xfer_dtype)
+            wav, lengths = dsp.pad_batch(
+                chunk, pad_to_multiple=512 // self._up, max_len=max_len
+            )
+            wav = wire.encode_np(wav, self.wire)
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn = pending
@@ -284,10 +326,11 @@ class FeatureExtractor:
         return out / cnt[:, None]
 
     def extract_chunk_waveforms(self, chunks: List[np.ndarray]) -> np.ndarray:
+        sr, mult = self._host_sr, 512 // self._up
         if self.is_audiomae:
-            max_len = 10 * SR  # multiple of 160
+            max_len = 10 * sr  # 16k-equivalent multiple of the 160-sample shift
         else:
-            max_len = ((int(self.input_sec * SR) + 511) // 512) * 512
+            max_len = ((int(self.input_sec * sr) + mult - 1) // mult) * mult
         out = []
         bs = self.batch_size
         pending = None
@@ -295,7 +338,8 @@ class FeatureExtractor:
             part = chunks[lo:hi]
             if len(part) < bs:
                 part = part + [part[0]] * (bs - len(part))
-            wav, lengths = dsp.pad_batch(part, max_len=max_len, dtype=self._xfer_dtype)
+            wav, lengths = dsp.pad_batch(part, pad_to_multiple=mult, max_len=max_len)
+            wav = wire.encode_np(wav, self.wire)
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn = pending
