@@ -5,8 +5,9 @@ The reference's hot loop (model_util.py:113-182) processes one file at a time:
 librosa mel on CPU, encoder forward at batch size 1. The baseline here mimics
 that design faithfully on this machine (numpy-oracle mel on host + batch-1
 encoder dispatch); the framework number is the batched single-graph TPU
-pipeline. Both consume identical pre-decoded waveforms so the comparison
-isolates pipeline design, not disk I/O.
+pipeline — on TPU that is the production default: fused Pallas swin blocks
+(stages C<=384) with bfloat16 matmuls / f32 accumulation (feature cosine vs
+the f32 XLA path >= 0.999996, RESULTS.md round-2 table).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -24,8 +25,12 @@ def main():
 
     from heart_murmur_detection_tpu.audio import dsp
     from heart_murmur_detection_tpu.audio import reference_np as ref
+    from heart_murmur_detection_tpu.audio import wire
     from heart_murmur_detection_tpu.extract import registry
     from heart_murmur_detection_tpu.models.cola import Cola
+    from heart_murmur_detection_tpu.models.htsat import HTSATConfig
+    from heart_murmur_detection_tpu.models.htsat_fused import htsat_apply_fused
+    from heart_murmur_detection_tpu.ops.resample import resample_poly_device
 
     SR = 16000
     CLIP_SEC = 10.0
@@ -40,13 +45,30 @@ def main():
     ]
 
     model, variables = registry.initialize_pretrained_model("operaCT", random_init=True)
+    on_tpu = jax.default_backend() == "tpu"
 
     max_len = ((int(CLIP_SEC * SR) + 511) // 512) * 512
 
-    @jax.jit
-    def batched(wav, lengths):
-        mel, nf = dsp.mel_frontend(wav, lengths)
-        return model.apply(variables, mel, 768, nf, method=Cola.extract_feature)
+    if on_tpu:
+        # production extraction graph (FeatureExtractor TPU defaults):
+        # fused Pallas swin stages + bf16 matmuls
+        enc_vars = {
+            "params": variables["params"]["encoder"],
+            "batch_stats": variables["batch_stats"]["encoder"],
+        }
+
+        @jax.jit
+        def batched(wav, lengths):
+            mel, nf = dsp.mel_frontend(wav, lengths)
+            return htsat_apply_fused(
+                enc_vars, mel, nf, HTSATConfig(), mm_dtype=jnp.bfloat16
+            )
+    else:
+
+        @jax.jit
+        def batched(wav, lengths):
+            mel, nf = dsp.mel_frontend(wav, lengths)
+            return model.apply(variables, mel, 768, nf, method=Cola.extract_feature)
 
     wav, lengths = dsp.pad_batch(clips[:BATCH], max_len=max_len)
     wavj, lenj = jnp.asarray(wav), jnp.asarray(lengths)
@@ -63,24 +85,52 @@ def main():
     ours = n_done / (time.time() - t0)
 
     # (b) streaming throughput: host->device transfer included (PCM16 packing,
-    # the production extractor path); bound by the host link, not the chip
-    # one-deep pipeline like the production extractor: PCM16 packing + upload
-    # of batch i+1 overlap the device compute of batch i
-    np.asarray(
-        batched(jnp.asarray(dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)[0]), lenj)
-    )  # warm int16 graph
+    # the production extractor path); bound by the host link, not the chip.
+    # One-deep pipeline: packing + upload of batch i+1 overlap compute of i.
+    @jax.jit
+    def batched_i16(wav16, lengths):
+        return batched(wire.decode_device(wav16, "int16"), lengths)
+
+    wav16_0, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
+    np.asarray(batched_i16(jnp.asarray(wav16_0), lenj))  # warm int16 graph
     t0 = time.time()
     n_done = 0
     pending = None
     while n_done < N_CLIPS:
         wav16, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
-        fut = batched(jnp.asarray(wav16), lenj)
+        fut = batched_i16(jnp.asarray(wav16), lenj)
         if pending is not None:
             np.asarray(pending)
         pending = fut
         n_done += BATCH
     np.asarray(pending)
     streaming = n_done / (time.time() - t0)
+
+    # (c) source-rate streaming: ship 4 kHz int16 (CirCor native rate),
+    # upsample on device (ops.resample) — 8x fewer wire bytes than f32/16k
+    clips4k = [c[::4].copy() for c in clips]
+    max_len4 = max_len // 4
+
+    @jax.jit
+    def batched_4k(wav16, lengths):
+        w = resample_poly_device(wire.decode_device(wav16, "int16"), 4)
+        return batched(w, lengths * 4)
+
+    len4j = jnp.asarray(np.full((BATCH,), max_len4, np.int32))
+    w4, _ = dsp.pad_batch(clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4, dtype=np.int16)
+    np.asarray(batched_4k(jnp.asarray(w4), len4j))  # warm
+    t0 = time.time()
+    n_done = 0
+    pending = None
+    while n_done < N_CLIPS:
+        w4, _ = dsp.pad_batch(clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4, dtype=np.int16)
+        fut = batched_4k(jnp.asarray(w4), len4j)
+        if pending is not None:
+            np.asarray(pending)
+        pending = fut
+        n_done += BATCH
+    np.asarray(pending)
+    streaming_4k = n_done / (time.time() - t0)
 
     # reference-style baseline: host mel per clip + batch-1 encoder dispatch
     @jax.jit
@@ -108,6 +158,8 @@ def main():
                 "vs_baseline": round(ours / base, 2),
                 "baseline_per_clip_loop": round(base, 2),
                 "streaming_clips_per_sec_int16": round(streaming, 2),
+                "streaming_clips_per_sec_int16_4k_src": round(streaming_4k, 2),
+                "fused_bf16": on_tpu,
                 "backend": jax.default_backend(),
             }
         )

@@ -73,9 +73,19 @@ def htsat_apply_fused(
     mel: jnp.ndarray,
     n_frames=None,
     cfg: HTSATConfig = HTSATConfig(),
-    max_fused_dim: int = 384,
+    max_fused_dim: int = None,
+    mm_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768)."""
+    """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
+
+    max_fused_dim: widest stage routed through the fused Pallas kernel.
+    None = auto: 384 for bfloat16 matmuls (fused wins every VMEM-feasible
+    stage), 192 for f32 (the C=384 stage is faster in XLA at f32 —
+    measured, RESULTS.md round-2 table). Stage 4 (C=768) always uses the
+    inline jnp block: its weights alone exceed the 16MB scoped-VMEM limit.
+    """
+    if max_fused_dim is None:
+        max_fused_dim = 384 if mm_dtype == jnp.bfloat16 else 192
     params = variables["params"]
     stats = variables["batch_stats"]
     B, T, F = mel.shape
@@ -128,7 +138,8 @@ def htsat_apply_fused(
                 if shift:
                     xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
                 xs = fused_swin_block(
-                    xs, p, bias, mask, window=window, num_heads=heads
+                    xs, p, bias, mask, window=window, num_heads=heads,
+                    mm_dtype=mm_dtype,
                 )
                 if shift:
                     xs = jnp.roll(xs, (shift, shift), axis=(1, 2))

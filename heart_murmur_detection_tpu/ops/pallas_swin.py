@@ -12,9 +12,14 @@ Layout: x stays spatial (B, H, W, C); the window partition happens via VMEM
 reshapes inside the kernel (no HBM transpose). The cyclic shift (shifted
 blocks) is a jnp.roll outside — one unavoidable data movement.
 
-Numerics: all matmuls run at Precision.HIGHEST with f32 accumulation —
-bandwidth, not FLOPs, is the constraint, so exactness is free. Matches
-models.htsat.SwinBlock (eval mode) to ~1e-5; tested in tests/test_pallas_swin.py.
+Numerics: f32 matmuls run at Precision.HIGHEST with f32 accumulation;
+bfloat16 mode (mm_dtype) halves MXU passes and keeps f32 accumulation via
+preferred_element_type. Interpret-mode output matches models.htsat.SwinBlock
+(eval) to ~1e-5 (tests/test_pallas_swin.py); on real TPU hardware Mosaic's
+transcendental approximations (exp/rsqrt in softmax+LN) give ~2e-2 absolute
+block-output deltas that wash out to feature cosine >= 0.99999 end-to-end
+(RESULTS.md round-2 table) — an inference-path tolerance, documented in
+PARITY.md.
 """
 
 from __future__ import annotations
@@ -62,11 +67,17 @@ def _kernel(
     w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
     *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
+    hdp: int, mm_dtype,
 ):
     C = x_ref.shape[-1]
     hd = C // heads
     N = win * win
     nw = bb * tw  # windows processed per kernel instance
+    Cp = heads * hdp  # lane-padded q/k/v width (hdp=32-aligned head dim)
+    mm = lambda a: a.astype(mm_dtype)
+    # Mosaic rejects fp32 contract_precision on bf16 operands ("Bad lhs
+    # type"); bf16 matmuls use default precision + f32 accumulation instead
+    prec = HI if mm_dtype == jnp.float32 else None
     # (bb, win, win*tw, C) -> windows (bb*tw, N, C) via VMEM reshapes
     x = x_ref[:]  # (bb, win, win*tw, C)
     xw = x.reshape(bb, win, tw, win, C).transpose(0, 2, 1, 3, 4).reshape(nw, N, C)
@@ -74,49 +85,53 @@ def _kernel(
 
     h = _ln(xw, ln1_s[0], ln1_b[0])
     qkv = (
-        jnp.dot(h.reshape(tw * N, C), w_qkv[:], precision=HI,
+        jnp.dot(mm(h.reshape(tw * N, C)), mm(w_qkv[:]), precision=prec,
                 preferred_element_type=jnp.float32)
         + b_qkv[0]
-    ).reshape(tw, N, 3 * C)  # sublane split only; Mosaic can't split lanes
+    ).reshape(tw, N, 3 * Cp)  # sublane split only; Mosaic can't split lanes
     mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
-    # per-head loop: lane-dim slices keep reshapes legal; matmuls get a
-    # single batch dim (tw), which Mosaic supports
+    # per-head loop: lane-dim slices (32-aligned via hdp padding) keep
+    # reshapes legal; matmuls get a single batch dim (tw), which Mosaic
+    # supports
     outs = []
     for hh in range(heads):
-        qh = qkv[:, :, hh * hd : (hh + 1) * hd]
-        kh = qkv[:, :, C + hh * hd : C + (hh + 1) * hd]
-        vh = qkv[:, :, 2 * C + hh * hd : 2 * C + (hh + 1) * hd]
+        qh = qkv[:, :, hh * hdp : hh * hdp + hdp]
+        kh = qkv[:, :, Cp + hh * hdp : Cp + hh * hdp + hdp]
+        vh = qkv[:, :, 2 * Cp + hh * hdp : 2 * Cp + hh * hdp + hdp]
         a = jax.lax.dot_general(
-            qh * (hd ** -0.5), kh,
+            mm(qh * (hd ** -0.5)), mm(kh),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            precision=HI, preferred_element_type=jnp.float32,
-        )  # (tw, N, N)
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (tw, N, N); padded tail dims are exact zeros -> no logit change
         a = a + bias_ref[hh]
         if mask is not None:
             a = a + mask
         a = jax.nn.softmax(a, axis=-1)
         outs.append(
             jax.lax.dot_general(
-                a, vh,
+                mm(a), mm(vh),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=HI, preferred_element_type=jnp.float32,
+                precision=prec, preferred_element_type=jnp.float32,
             )
-        )  # (tw, N, hd)
-    o = jnp.concatenate(outs, axis=-1).reshape(tw * N, C)
+        )  # (tw, N, hdp)
+    o = jnp.concatenate(outs, axis=-1).reshape(tw * N, Cp)
     o = (
-        jnp.dot(o, w_proj[:], precision=HI, preferred_element_type=jnp.float32)
+        jnp.dot(mm(o), mm(w_proj[:]), precision=prec,
+                preferred_element_type=jnp.float32)
         + b_proj[0]
     ).reshape(tw, N, C)
 
     h1 = xw + o
     m = _ln(h1, ln2_s[0], ln2_b[0]).reshape(tw * N, C)
     m = (
-        jnp.dot(m, w_fc1[:], precision=HI, preferred_element_type=jnp.float32)
+        jnp.dot(mm(m), mm(w_fc1[:]), precision=prec,
+                preferred_element_type=jnp.float32)
         + b_fc1[0]
     )
     m = _gelu_exact(m)
     m = (
-        jnp.dot(m, w_fc2[:], precision=HI, preferred_element_type=jnp.float32)
+        jnp.dot(mm(m), mm(w_fc2[:]), precision=prec,
+                preferred_element_type=jnp.float32)
         + b_fc2[0]
     ).reshape(tw, N, C)
     out = h1 + m
@@ -138,12 +153,22 @@ def fused_swin_block(
     tw: Optional[int] = None,
     bb: Optional[int] = None,
     interpret: bool = False,
+    pad_head_dim: bool = True,
+    mm_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """One swin block on spatial input x (B, H, W, C).
 
     params: flax SwinBlock param subtree (norm1/attn/norm2/mlp). bias:
     precomputed relative-position bias (heads, N, N). mask: shifted-window
     additive mask (nW, N, N) or None — the caller rolls x before/after.
+
+    pad_head_dim: zero-pad each head's qkv columns (and proj rows) from
+    head_dim to the next multiple of 32 so every in-kernel slice is
+    lane-aligned (HTS-AT's head_dim is 24 at every stage — a 128-lane VPU
+    pathology). Exact numerics: padded q/k columns are zero so logits are
+    unchanged; padded v columns produce zeros that hit zero proj rows.
+    mm_dtype: matmul input dtype (bfloat16 halves MXU passes; accumulation
+    stays f32 via preferred_element_type — feature cosine vs f32 > 0.9999).
     """
     B, H, W, C = x.shape
     win = window
@@ -152,12 +177,20 @@ def fused_swin_block(
         tw = min(nww, 8)
     assert nww % tw == 0
     N = win * win
+    hd = C // num_heads
+    hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
+    Cp = num_heads * hdp
+    hidden = params["mlp"]["fc1"]["kernel"].shape[1]
     if bb is None:
         # batch rows per kernel instance: amortizes weight DMAs across the
-        # grid; bounded by a ~8MB VMEM activation budget
-        hidden = params["mlp"]["fc1"]["kernel"].shape[1]
-        per_row = tw * N * (14 * C + hidden) * 4
-        bb = max(1, min(B, (8 << 20) // max(per_row, 1)))
+        # grid, bounded by the 16MB scoped-VMEM limit. Model (calibrated on
+        # observed Mosaic stack sizes): per-instance activations + double-
+        # buffered in/out tiles + one copy of the weights, kept <= 13MB.
+        weights = (C * 3 * Cp + Cp * C + 2 * C * hidden) * 4
+        act_row = tw * N * (13 * C + 4 * Cp + hidden + num_heads * N) * 4
+        io_row = 4 * tw * N * C * 4
+        bb = ((13 << 20) - weights) // max(act_row + io_row, 1)
+        bb = max(1, min(B, bb))
         while B % bb:
             bb -= 1
     assert B % bb == 0
@@ -169,17 +202,31 @@ def fused_swin_block(
 
     p = params
     v1 = lambda a: jnp.asarray(a).reshape(1, -1)  # 1-D params as 2-D rows
+    w_qkv = jnp.asarray(p["attn"]["qkv"]["kernel"])  # (C, 3C), cols [3][h][d]
+    b_qkv = jnp.asarray(p["attn"]["qkv"]["bias"])
+    w_proj = jnp.asarray(p["attn"]["proj"]["kernel"])  # (C, C), rows [h][d]
+    if hdp != hd:
+        pad = ((0, 0), (0, 0), (0, 0), (0, hdp - hd))
+        w_qkv = jnp.pad(w_qkv.reshape(C, 3, num_heads, hd), pad).reshape(
+            C, 3 * Cp
+        )
+        b_qkv = jnp.pad(
+            b_qkv.reshape(3, num_heads, hd), pad[1:]
+        ).reshape(3 * Cp)
+        w_proj = jnp.pad(
+            w_proj.reshape(num_heads, hd, C),
+            ((0, 0), (0, hdp - hd), (0, 0)),
+        ).reshape(Cp, C)
     args = (
         x, mask_arr,
-        p["attn"]["qkv"]["kernel"], v1(p["attn"]["qkv"]["bias"]),
-        p["attn"]["proj"]["kernel"], v1(p["attn"]["proj"]["bias"]),
+        w_qkv, b_qkv.reshape(1, -1),
+        w_proj, v1(p["attn"]["proj"]["bias"]),
         bias,
         v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
         v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
         p["mlp"]["fc1"]["kernel"], v1(p["mlp"]["fc1"]["bias"]),
         p["mlp"]["fc2"]["kernel"], v1(p["mlp"]["fc2"]["bias"]),
     )
-    hidden = p["mlp"]["fc1"]["kernel"].shape[1]
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -187,15 +234,16 @@ def fused_swin_block(
     grid = (B // bb, nwh, nww // tw)
     return pl.pallas_call(
         functools.partial(
-            _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask
+            _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask,
+            hdp=hdp, mm_dtype=mm_dtype,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tw, N, N), lambda b, i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM),
-            full((C, 3 * C)), full((1, 3 * C)),
-            full((C, C)), full((1, C)),
+            full((C, 3 * Cp)), full((1, 3 * Cp)),
+            full((Cp, C)), full((1, C)),
             full((num_heads, N, N)),
             full((1, C)), full((1, C)), full((1, C)), full((1, C)),
             full((C, hidden)), full((1, hidden)),
