@@ -54,6 +54,50 @@ def test_fused_matches_flax(C, res, heads, shift):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+def test_bf16_kernel_close_and_autobb_feasible():
+    """bf16 matmul mode stays within ~1e-2 of f32 (f32 accumulation), and the
+    auto block-size picker yields a legal configuration for the widest fused
+    stage's geometry (C=384 previously tripped the 16MB scoped-VMEM limit)."""
+    C, heads, H = 384, 16, 16
+    blk = SwinBlock(
+        dim=C, input_resolution=(H, H), num_heads=heads, window=8, shift=0,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((4, H * H, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    xs = x.reshape(4, H, H, C)
+    # auto tw/bb (no overrides): exercises the calibrated VMEM model
+    got = np.asarray(
+        fused_swin_block(
+            xs, p, bias, None, num_heads=heads, interpret=True,
+            mm_dtype=jnp.bfloat16,
+        )
+    ).reshape(4, H * H, C)
+    # bf16 inputs, f32 accumulation: block-level agreement ~1e-2 absolute
+    assert np.abs(got - want).max() < 5e-2
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+
+def test_extractor_fused_default_off_on_cpu():
+    """use_fused_htsat=None resolves to False on CPU (pallas interpret would
+    be slow) — the exact XLA path stays the test/CPU default."""
+    from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+
+    fe = FeatureExtractor(
+        "operaCT", dim=768, input_sec=8, batch_size=2, random_init=True
+    )
+    assert fe.use_fused_htsat is False
+
+
 class TestFusedHTSAT:
     def test_full_forward_matches_flax(self):
         """htsat_apply_fused == HTSAT.apply latent to ~1e-4 (interpret kernels)."""
