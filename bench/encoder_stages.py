@@ -4,6 +4,9 @@ Times each swin stage (and intra-stage pieces for stage 1) as standalone jit
 graphs, looped 32x back-to-back with one final sync (relay round-trip ~40-70ms
 would pollute per-call syncs).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import numpy as np
 import jax

@@ -1,5 +1,8 @@
 """Full-graph variants with numerics: min-over-rounds timing + cosine vs
 unfused. Output fetch is tiny (64x768), so np.asarray sync is honest."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json, os, time
 import numpy as np
 import jax

@@ -1,6 +1,9 @@
 """Does bf16 fused extraction change LP quality? Extract features from a
 synthetic 2-class corpus with the f32 XLA path and the fused bf16 path, train
 identical linear probes (5 seeds), compare AUROC."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os, sys, wave, tempfile
 import numpy as np
 

@@ -67,6 +67,12 @@ def main(argv=None):
                 fine_tuned=cfg.get("fine_tuned"),
                 seed=cfg.get("seed"),
                 random_init=bool(cfg.get("random_init", False)),
+                wire_format=cfg.get("wire_format", "int16"),
+                source_sr=(
+                    int(cfg["source_sr"])
+                    if cfg.get("source_sr") not in (None, "None")
+                    else None
+                ),
             )
             print("saved features:", out)
 

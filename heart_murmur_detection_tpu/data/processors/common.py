@@ -44,9 +44,15 @@ def extract_and_save(
     seed=None,
     random_init: bool = False,
     batch_size: int = 16,
+    wire_format: str = "int16",
+    source_sr: Optional[int] = None,
 ) -> str:
     """Run batched extraction for a processed feature dir and save
-    <pretrain><dim>_feature.npy (processing scripts' extract_and_save_embeddings)."""
+    <pretrain><dim>_feature.npy (processing scripts' extract_and_save_embeddings).
+
+    wire_format / source_sr: host->device transfer tuning (audio/wire.py,
+    ops/resample.py) — e.g. source_sr=4000 ships CirCor at its native rate
+    and upsamples on device (2.5x streaming extraction, RESULTS.md)."""
     from ...extract.extract import FeatureExtractor
 
     sound_dir_loc = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
@@ -58,6 +64,8 @@ def extract_and_save(
         pad0=pad0,
         random_init=random_init,
         batch_size=batch_size,
+        wire_format=wire_format,
+        source_sr=source_sr,
     )
     feats = ex.extract_files([str(f) for f in sound_dir_loc])
     name = pretrain + ("" if "audiomae" in pretrain else str(dim))
