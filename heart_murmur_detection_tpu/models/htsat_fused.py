@@ -136,13 +136,15 @@ def htsat_apply_fused(
             if dim <= max_fused_dim and window == cfg.window_size:
                 xs = x.reshape(B, H, W, dim)
                 if shift:
-                    xs = jnp.roll(xs, (-shift, -shift), axis=(1, 2))
+                    # H-axis roll only; the W roll happens in VMEM inside
+                    # the kernel (roll_w), halving the rolls' HBM traffic
+                    xs = jnp.roll(xs, -shift, axis=1)
                 xs = fused_swin_block(
                     xs, p, bias, mask, window=window, num_heads=heads,
-                    mm_dtype=mm_dtype,
+                    mm_dtype=mm_dtype, roll_w=shift,
                 )
                 if shift:
-                    xs = jnp.roll(xs, (shift, shift), axis=(1, 2))
+                    xs = jnp.roll(xs, shift, axis=1)
                 x = xs.reshape(B, H * W, dim)
             else:
                 x = _block_jnp(x, p, H, W, heads, window, shift, bias, mask)

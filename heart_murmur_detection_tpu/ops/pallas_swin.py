@@ -67,7 +67,7 @@ def _kernel(
     w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
     *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
-    hdp: int, mm_dtype,
+    hdp: int, mm_dtype, roll_w: int,
 ):
     C = x_ref.shape[-1]
     hd = C // heads
@@ -80,6 +80,12 @@ def _kernel(
     prec = HI if mm_dtype == jnp.float32 else None
     # (bb, win, win*tw, C) -> windows (bb*tw, N, C) via VMEM reshapes
     x = x_ref[:]  # (bb, win, win*tw, C)
+    if roll_w:
+        # shifted blocks: the W-axis cyclic shift happens here in VMEM (the
+        # instance sees the full width when tw == W//win); the H-axis roll
+        # stays an XLA op outside (it crosses grid tiles). Left-roll by
+        # roll_w == two slices + concat.
+        x = jnp.concatenate([x[:, :, roll_w:], x[:, :, :roll_w]], axis=2)
     xw = x.reshape(bb, win, tw, win, C).transpose(0, 2, 1, 3, 4).reshape(nw, N, C)
     tw = nw  # downstream treats the fused (batch x window) axis uniformly
 
@@ -136,10 +142,13 @@ def _kernel(
     ).reshape(tw, N, C)
     out = h1 + m
 
-    # back to spatial (bb, win, win*tw, C)
-    out_ref[:] = out.reshape(bb, tw // bb, win, win, C).transpose(
+    # back to spatial (bb, win, win*tw, C); undo the W roll
+    out = out.reshape(bb, tw // bb, win, win, C).transpose(
         0, 2, 1, 3, 4
     ).reshape(bb, win, (tw // bb) * win, C)
+    if roll_w:
+        out = jnp.concatenate([out[:, :, -roll_w:], out[:, :, :-roll_w]], axis=2)
+    out_ref[:] = out
 
 
 def fused_swin_block(
@@ -155,6 +164,7 @@ def fused_swin_block(
     interpret: bool = False,
     pad_head_dim: bool = True,
     mm_dtype=jnp.float32,
+    roll_w: int = 0,
 ) -> jnp.ndarray:
     """One swin block on spatial input x (B, H, W, C).
 
@@ -169,6 +179,10 @@ def fused_swin_block(
     unchanged; padded v columns produce zeros that hit zero proj rows.
     mm_dtype: matmul input dtype (bfloat16 halves MXU passes; accumulation
     stays f32 via preferred_element_type — feature cosine vs f32 > 0.9999).
+    roll_w: cyclic left-shift along W applied inside the kernel (and undone
+    on the output) — for shifted blocks the caller then only rolls the H
+    axis outside: jnp.roll(x, -s, axis=1); fused(..., roll_w=s); roll back.
+    Requires tw == W//window (the default) so each instance sees full W.
     """
     B, H, W, C = x.shape
     win = window
@@ -176,6 +190,8 @@ def fused_swin_block(
     if tw is None:
         tw = min(nww, 8)
     assert nww % tw == 0
+    if roll_w:
+        assert tw == nww, "in-kernel W roll needs the full width per instance"
     N = win * win
     hd = C // num_heads
     hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
@@ -235,7 +251,7 @@ def fused_swin_block(
     return pl.pallas_call(
         functools.partial(
             _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask,
-            hdp=hdp, mm_dtype=mm_dtype,
+            hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         grid=grid,

@@ -54,6 +54,32 @@ def test_fused_matches_flax(C, res, heads, shift):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("C,heads", [(96, 4), (384, 16)])
+def test_in_kernel_w_roll_matches_explicit(C, heads):
+    """roll_w (W-axis cyclic shift inside the kernel) == explicit 2-axis roll."""
+    H = W = 16
+    shift = 4
+    blk = SwinBlock(
+        dim=C, input_resolution=(H, W), num_heads=heads, window=8, shift=shift,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(2)
+    x = jnp.asarray(r.standard_normal((2, H * W, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    mask = jnp.asarray(_shift_attn_mask(H, W, 8, shift))
+    xs = jnp.roll(x.reshape(2, H, W, C), -shift, axis=1)  # H only
+    out = fused_swin_block(
+        xs, p, bias, mask, num_heads=heads, interpret=True, roll_w=shift
+    )
+    got = np.asarray(jnp.roll(out, shift, axis=1)).reshape(2, H * W, C)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
 def test_bf16_kernel_close_and_autobb_feasible():
     """bf16 matmul mode stays within ~1e-2 of f32 (f32 accumulation), and the
     auto block-size picker yields a legal configuration for the widest fused
