@@ -59,7 +59,9 @@ def main():
 
         @jax.jit
         def batched(wav, lengths):
-            mel, nf = dsp.mel_frontend(wav, lengths)
+            mel, nf = dsp.mel_frontend(
+                wav, lengths, precision=jax.lax.Precision.HIGH
+            )
             return htsat_apply_fused(
                 enc_vars, mel, nf, HTSATConfig(), mm_dtype=jnp.bfloat16
             )

@@ -95,16 +95,22 @@ def mel_frontend(
     normalize: bool = True,
     use_fft: bool = False,
     compute_dtype=jnp.float32,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched pre_process_audio_mel_t (src/util.py:481-501).
 
     Args:
       wav: (B, Nmax) float32, each row zero-padded beyond its length.
       lengths: (B,) int32 valid sample counts.
+      precision: DFT/mel matmul precision. None = Precision.HIGHEST (six
+        bf16 MXU passes — strict f32 librosa parity, the default).
+        Precision.HIGH (bf16x3) halves the passes at ~1e-7 relative error —
+        what the bf16 extraction path uses (extract.py).
     Returns:
       mel: (B, Tmax, n_mels) min-max normalised (invalid frames zeroed),
       n_frames: (B,) int32 valid frame counts (= lengths//hop + 1).
     """
+    prec = HIGH if precision is None else precision
     assert hop * 2 == n_fft, "mel_frontend assumes 50% hop (reference uses 1024/512)"
     if jnp.issubdtype(wav.dtype, jnp.integer):
         # int16 PCM transfer path: host ships native sample width (halves
@@ -125,12 +131,12 @@ def mel_frontend(
     else:
         cos, sin = _dft_bases(n_fft, "hann_periodic")
         f = frames.astype(compute_dtype)
-        re = jnp.matmul(f, jnp.asarray(cos), precision=HIGH)
-        im = jnp.matmul(f, jnp.asarray(sin), precision=HIGH)
+        re = jnp.matmul(f, jnp.asarray(cos), precision=prec)
+        im = jnp.matmul(f, jnp.asarray(sin), precision=prec)
         power = (re * re + im * im).astype(jnp.float32)
 
     fb = jnp.asarray(_mel_fb(sr, n_fft, n_mels, fmin, fmax))
-    mel = jnp.matmul(power, fb, precision=HIGH)  # (B, Tmax, n_mels)
+    mel = jnp.matmul(power, fb, precision=prec)  # (B, Tmax, n_mels)
 
     n_frames = (lengths // hop + 1).astype(jnp.int32)
     valid = jnp.arange(Tmax)[None, :] < n_frames[:, None]  # (B, Tmax)

@@ -140,7 +140,14 @@ class FeatureExtractor:
             from ..ops.pallas_mel import mel_frontend_pallas
 
             return mel_frontend_pallas(wav, lengths)
-        return dsp.mel_frontend(wav, lengths)
+        # bf16 extraction: bf16x3 DFT passes (~1e-7 rel err) instead of the
+        # strict-parity bf16x6 — half the mel frontend's MXU time
+        prec = (
+            jax.lax.Precision.HIGH
+            if self.compute_dtype == jnp.bfloat16
+            else None
+        )
+        return dsp.mel_frontend(wav, lengths, precision=prec)
 
     def _build(self):
         model, variables = self.model, self.variables
