@@ -207,12 +207,16 @@ def kaldi_fbank_frontend(
     preemphasis: float = 0.97,
     remove_dc_offset: bool = True,
     subtract_mean_wav: bool = True,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched kaldi fbank (src/util.py:841-856 semantics, dither=0).
 
+    precision: DFT/mel matmul precision (None = HIGHEST, strict parity;
+    Precision.HIGH for the bf16 extraction path — see mel_frontend).
     Returns (B, Tmax, num_mel_bins) with invalid frames zeroed, and (B,) valid
     frame counts (= 1 + (len-win)//shift, 0 if len < win).
     """
+    prec = HIGH if precision is None else precision
     if jnp.issubdtype(wav.dtype, jnp.integer):
         wav = wav.astype(jnp.float32) / 32768.0
     B, Nmax = wav.shape
@@ -242,14 +246,14 @@ def kaldi_fbank_frontend(
 
     fr = jnp.pad(frames, ((0, 0), (0, 0), (0, padded - win)))
     cos, sin = _dft_bases(padded, "none")
-    re = jnp.matmul(fr, jnp.asarray(cos), precision=HIGH)
-    im = jnp.matmul(fr, jnp.asarray(sin), precision=HIGH)
+    re = jnp.matmul(fr, jnp.asarray(cos), precision=prec)
+    im = jnp.matmul(fr, jnp.asarray(sin), precision=prec)
     power = re * re + im * im  # (B, T, padded//2+1)
 
     banks = jnp.asarray(
         ref.kaldi_mel_banks(num_mel_bins, padded, sr).T
     )  # (padded//2, mels)
-    mel_e = jnp.matmul(power[:, :, : padded // 2], banks, precision=HIGH)
+    mel_e = jnp.matmul(power[:, :, : padded // 2], banks, precision=prec)
     mel_e = jnp.log(jnp.maximum(mel_e, jnp.finfo(jnp.float32).eps))
 
     n_frames = jnp.where(lengths >= win, 1 + (lengths - win) // shift, 0).astype(

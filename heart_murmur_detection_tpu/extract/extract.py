@@ -154,10 +154,16 @@ class FeatureExtractor:
 
         if self.is_audiomae:
 
+            prec = (
+                jax.lax.Precision.HIGH
+                if self.compute_dtype == jnp.bfloat16
+                else None
+            )
+
             @jax.jit
             def fn(wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
-                fb, nf = dsp.kaldi_fbank_frontend(wav, lengths)
+                fb, nf = dsp.kaldi_fbank_frontend(wav, lengths, precision=prec)
                 return model.apply(variables, fb)
 
             return fn
