@@ -115,6 +115,14 @@ class FeatureExtractor:
                     f"batch_size {batch_size} not divisible by mesh size {n_mesh}"
                 )
             self.variables = put_replicated(self.variables, mesh)
+        else:
+            # params are jit ARGUMENTS, not closure constants: closed-over
+            # arrays get baked into the serialized HLO, which (a) bloats the
+            # compile payload past this environment's remote-compile request
+            # limit for ViT-B-sized models (HTTP 413 at ~344MB) and (b)
+            # re-embeds weights per graph. device_put once; per-call passing
+            # of device-resident arrays is free.
+            self.variables = jax.device_put(self.variables)
         self.max_sec = 32 if "operaCT" in pretrain else None
         self._fn = self._build()
 
@@ -123,8 +131,8 @@ class FeatureExtractor:
             from ..parallel.mesh import shard_batch
 
             wav, lengths = shard_batch((wav, lengths), self.mesh)
-            return self._fn(wav, lengths)
-        return self._fn(jnp.asarray(wav), jnp.asarray(lengths))
+            return self._fn(self.variables, wav, lengths)
+        return self._fn(self.variables, jnp.asarray(wav), jnp.asarray(lengths))
 
     # -- device graphs -------------------------------------------------------
     def _prologue(self, wav, lengths):
@@ -150,7 +158,9 @@ class FeatureExtractor:
         return dsp.mel_frontend(wav, lengths, precision=prec)
 
     def _build(self):
-        model, variables = self.model, self.variables
+        """Build the jit graph; `variables` is an explicit argument (see
+        __init__ — closure constants bloat the serialized HLO)."""
+        model = self.model
 
         if self.is_audiomae:
 
@@ -161,7 +171,7 @@ class FeatureExtractor:
             )
 
             @jax.jit
-            def fn(wav, lengths):
+            def fn(variables, wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
                 fb, nf = dsp.kaldi_fbank_frontend(wav, lengths, precision=prec)
                 return model.apply(variables, fb)
@@ -171,7 +181,7 @@ class FeatureExtractor:
         if self.is_mae:  # operaGT
 
             @jax.jit
-            def fn(wav, lengths):
+            def fn(variables, wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
                 mel, nf = self._mel(wav, lengths)
                 mel = mel[:, :256]
@@ -187,15 +197,14 @@ class FeatureExtractor:
             from ..models.htsat import HTSATConfig
             from ..models.htsat_fused import htsat_apply_fused
 
-            enc_vars = {
-                "params": variables["params"]["encoder"],
-                "batch_stats": variables["batch_stats"]["encoder"],
-            }
-
             mm_dtype = self.compute_dtype
 
             @jax.jit
-            def fn(wav, lengths):
+            def fn(variables, wav, lengths):
+                enc_vars = {
+                    "params": variables["params"]["encoder"],
+                    "batch_stats": variables["batch_stats"]["encoder"],
+                }
                 wav, lengths = self._prologue(wav, lengths)
                 mel, nf = self._mel(wav, lengths)
                 return htsat_apply_fused(
@@ -205,7 +214,7 @@ class FeatureExtractor:
             return fn
 
         @jax.jit
-        def fn(wav, lengths):
+        def fn(variables, wav, lengths):
             wav, lengths = self._prologue(wav, lengths)
             mel, nf = self._mel(wav, lengths)
             return model.apply(
