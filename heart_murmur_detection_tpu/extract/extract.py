@@ -121,8 +121,11 @@ class FeatureExtractor:
             # compile payload past this environment's remote-compile request
             # limit for ViT-B-sized models (HTTP 413 at ~344MB) and (b)
             # re-embeds weights per graph. device_put once; per-call passing
-            # of device-resident arrays is free.
-            self.variables = jax.device_put(self.variables)
+            # of device-resident arrays is free. The device is explicit:
+            # device_put(x, None) leaves committed arrays where they are —
+            # CPU-committed params would silently re-upload the whole tree
+            # every call over the ~50MB/s link.
+            self.variables = jax.device_put(self.variables, jax.devices()[0])
         self.max_sec = 32 if "operaCT" in pretrain else None
         self._fn = self._build()
 

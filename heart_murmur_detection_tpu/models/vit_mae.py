@@ -73,6 +73,11 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop: float = 0.0
     eps: float = 1e-6
+    # attention implementation: "xla" (einsum, materialized logits),
+    # "flash" (Pallas TPU flash kernel, ops/flash_vit.py), or "auto"
+    # (flash on TPU for N >= 256 — at ViT-S/B sequence lengths the XLA
+    # logits are the HBM bottleneck; below that the kernel setup dominates).
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -82,8 +87,31 @@ class ViTBlock(nn.Module):
         qkv = nn.Dense(3 * C, name="attn_qkv")(h)
         qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = jax.nn.softmax(jnp.einsum("bhnd,bhmd->bhnm", q * hd**-0.5, k), axis=-1)
-        h = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(B, N, C)
+        impl = self.attn_impl
+        if impl == "auto":
+            # only pick flash when tracing for an actual TPU placement: the
+            # default *backend* may be TPU while the computation is being
+            # staged for CPU (e.g. registry inits params under
+            # jax.default_device(cpu)), where pallas cannot lower
+            dd = jax.config.jax_default_device
+            on_tpu = jax.default_backend() == "tpu" and (
+                dd is None or getattr(dd, "platform", "tpu") == "tpu"
+            )
+            impl = "flash" if on_tpu and N >= 256 else "xla"
+        if impl == "flash":
+            from ..ops.flash_vit import flash_vit_attention
+
+            h = flash_vit_attention(q, k, v, sm_scale=hd**-0.5)
+            h = h.transpose(0, 2, 1, 3).reshape(B, N, C)
+        else:
+            attn = jax.nn.softmax(
+                jnp.einsum("bhnd,bhmd->bhnm", q * hd**-0.5, k), axis=-1
+            )
+            h = (
+                jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+                .transpose(0, 2, 1, 3)
+                .reshape(B, N, C)
+            )
         h = nn.Dense(C, name="attn_proj")(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
@@ -234,6 +262,13 @@ class MAEConfig:
     norm_pix_loss: bool = False
     decoder_window: Tuple[int, int] = (4, 4)
     decoder_shift: Tuple[int, int] = (2, 0)
+    # encoder ViTBlock attention: "xla" (default — measured: this XLA
+    # version's own attention fusion already runs the MAE encoders at
+    # parity with the Pallas flash kernel, RESULTS.md round-2 negative
+    # results), "flash" (ops/flash_vit.py, exact softmax via segment
+    # masking, has a custom VJP), or "auto" (flash on TPU placements at
+    # N>=256)
+    attn_impl: str = "xla"
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -293,7 +328,8 @@ class MaskedAutoencoderViT(nn.Module):
             )
         )[None]
         self.blocks = [
-            ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}")
+            ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                     attn_impl=cfg.attn_impl, name=f"blocks_{i}")
             for i in range(cfg.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
@@ -437,6 +473,7 @@ class AudioMAEClassifierBackbone(nn.Module):
         cls = cls_token + pos[:, :1]
         h = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)), h], axis=1)
         for i in range(cfg.depth):
-            h = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, name=f"blocks_{i}")(h)
+            h = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
+                         attn_impl=cfg.attn_impl, name=f"blocks_{i}")(h)
         h = h[:, 1:].mean(axis=1)
         return nn.LayerNorm(epsilon=1e-6, name="fc_norm")(h)

@@ -103,3 +103,22 @@ def test_mae_variable_length_input():
     )
     assert pred.shape[1] == mask.shape[1]  # tokens of the SHORT input
     assert bool(jnp.isfinite(loss))
+
+
+def test_attn_impl_auto_is_xla_on_cpu():
+    """attn_impl='auto' must resolve to the einsum path off-TPU (the flash
+    kernel only lowers for TPU); outputs identical to an explicit 'xla'."""
+    import numpy as np
+
+    from heart_murmur_detection_tpu.models.vit_mae import (
+        MaskedAutoencoderViT,
+        mae_vit_small_config,
+    )
+
+    x = np.random.default_rng(0).random((2, 256, 64)).astype(np.float32)
+    ma = MaskedAutoencoderViT(mae_vit_small_config(depth=2, attn_impl="auto"))
+    mx = MaskedAutoencoderViT(mae_vit_small_config(depth=2, attn_impl="xla"))
+    v = ma.init({"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}, x)
+    ya = ma.apply(v, x, method=MaskedAutoencoderViT.forward_feature)
+    yx = mx.apply(v, x, method=MaskedAutoencoderViT.forward_feature)
+    assert np.array_equal(np.asarray(ya), np.asarray(yx))
