@@ -47,8 +47,6 @@ class _State:
 
 
 def _build_extractor(cfg):
-    import jax.numpy as jnp
-
     from ..data.processors.common import default_input_sec
     from ..extract.extract import FeatureExtractor
 

@@ -17,10 +17,6 @@ the output are sliced away.
 
 from __future__ import annotations
 
-import functools
-import math
-
-import jax
 import jax.numpy as jnp
 
 
