@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.dsp import resize_bicubic_time
-from ..ops.pallas_swin import fused_swin_block
+from ..ops.pallas_swin import fused_swin_block, fused_swin_pair, pair_plan
 from .htsat import HTSATConfig, _relative_position_index, _shift_attn_mask
 
 HI = jax.lax.Precision.HIGHEST
@@ -75,6 +75,7 @@ def htsat_apply_fused(
     cfg: HTSATConfig = HTSATConfig(),
     max_fused_dim: int = None,
     mm_dtype=jnp.float32,
+    use_pair: bool = True,
 ) -> jnp.ndarray:
     """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
 
@@ -83,6 +84,11 @@ def htsat_apply_fused(
     stage), 192 for f32 (the C=384 stage is faster in XLA at f32 —
     measured, RESULTS.md round-2 table). Stage 4 (C=768) always uses the
     inline jnp block: its weights alone exceed the 16MB scoped-VMEM limit.
+
+    use_pair: fuse (regular, shifted) block pairs — including both cyclic
+    rolls — into one kernel when VMEM permits (ops.pallas_swin.pair_plan),
+    cutting HBM passes per pair from ~8 to 2. Falls back per-pair to the
+    single-block kernel when infeasible.
     """
     if max_fused_dim is None:
         max_fused_dim = 384 if mm_dtype == jnp.bfloat16 else 192
@@ -123,17 +129,41 @@ def htsat_apply_fused(
         heads = cfg.num_heads[i_layer]
         H, W = res
         window = cfg.window_size if min(H, W) > cfg.window_size else min(H, W)
-        for b in range(depth):
-            shift = 0 if b % 2 == 0 else (cfg.window_size // 2 if min(H, W) > cfg.window_size else 0)
-            p = params[f"layers_{i_layer}_blocks_{b}"]
+        rel_idx = _relative_position_index(window, window).reshape(-1)
+        N = window * window
+
+        def block_bias(p):
             table = p["attn"]["relative_position_bias_table"]
-            rel_idx = _relative_position_index(window, window).reshape(-1)
-            N = window * window
-            bias = table[rel_idx].reshape(N, N, heads).transpose(2, 0, 1)
+            return table[rel_idx].reshape(N, N, heads).transpose(2, 0, 1)
+
+        fuse_ok = dim <= max_fused_dim and window == cfg.window_size
+        hidden = int(4 * dim)
+        b = 0
+        while b < depth:
+            shift = 0 if b % 2 == 0 else (cfg.window_size // 2 if min(H, W) > cfg.window_size else 0)
+            shift_next = cfg.window_size // 2 if min(H, W) > cfg.window_size else 0
+            p = params[f"layers_{i_layer}_blocks_{b}"]
+            if (
+                use_pair and fuse_ok and shift == 0 and b + 1 < depth
+                and shift_next
+                and pair_plan(B, H, W, dim, heads, hidden, mm_dtype, window)
+            ):
+                p2 = params[f"layers_{i_layer}_blocks_{b + 1}"]
+                mask = jnp.asarray(_shift_attn_mask(H, W, window, shift_next))
+                xs = fused_swin_pair(
+                    x.reshape(B, H, W, dim), p, p2,
+                    block_bias(p), block_bias(p2), mask,
+                    window=window, num_heads=heads, shift=shift_next,
+                    mm_dtype=mm_dtype,
+                )
+                x = xs.reshape(B, H * W, dim)
+                b += 2
+                continue
+            bias = block_bias(p)
             mask = (
                 jnp.asarray(_shift_attn_mask(H, W, window, shift)) if shift else None
             )
-            if dim <= max_fused_dim and window == cfg.window_size:
+            if fuse_ok:
                 xs = x.reshape(B, H, W, dim)
                 if shift:
                     # H-axis roll only; the W roll happens in VMEM inside
@@ -148,6 +178,7 @@ def htsat_apply_fused(
                 x = xs.reshape(B, H * W, dim)
             else:
                 x = _block_jnp(x, p, H, W, heads, window, shift, bias, mask)
+            b += 1
         if i_layer < len(cfg.depths) - 1:
             pm = params[f"layers_{i_layer}_downsample"]
             xs = x.reshape(B, H, W, dim)

@@ -60,44 +60,39 @@ def _ln(x, scale, bias, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _kernel(
-    x_ref, mask_ref,
-    w_qkv, b_qkv, w_proj, b_proj, bias_ref,
+def _strip_block(
+    x, mask, bias,
+    w_qkv, b_qkv, w_proj, b_proj,
     ln1_s, ln1_b, ln2_s, ln2_b,
     w_fc1, b_fc1, w_fc2, b_fc2,
-    out_ref,
-    *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
-    hdp: int, mm_dtype, roll_w: int,
+    *, win: int, heads: int, hdp: int, mm_dtype,
 ):
-    C = x_ref.shape[-1]
+    """One swin block on a spatial tile x (bb, win, cw, C) of whole windows.
+
+    All arguments are VALUES (already loaded from refs). mask is (bb*twc, N,
+    N) additive or None; bias (heads, N, N); biases/LN params 1-D vectors.
+    Window partition/reverse happen as VMEM reshapes. Returns (bb, win, cw, C).
+    """
+    bb, _, cw, C = x.shape
     hd = C // heads
     N = win * win
-    nw = bb * tw  # windows processed per kernel instance
+    tw = cw // win
+    nw = bb * tw  # windows processed in this tile
     Cp = heads * hdp  # lane-padded q/k/v width (hdp=32-aligned head dim)
     mm = lambda a: a.astype(mm_dtype)
     # Mosaic rejects fp32 contract_precision on bf16 operands ("Bad lhs
     # type"); bf16 matmuls use default precision + f32 accumulation instead
     prec = HI if mm_dtype == jnp.float32 else None
-    # (bb, win, win*tw, C) -> windows (bb*tw, N, C) via VMEM reshapes
-    x = x_ref[:]  # (bb, win, win*tw, C)
-    if roll_w:
-        # shifted blocks: the W-axis cyclic shift happens here in VMEM (the
-        # instance sees the full width when tw == W//win); the H-axis roll
-        # stays an XLA op outside (it crosses grid tiles). Left-roll by
-        # roll_w == two slices + concat.
-        x = jnp.concatenate([x[:, :, roll_w:], x[:, :, :roll_w]], axis=2)
     xw = x.reshape(bb, win, tw, win, C).transpose(0, 2, 1, 3, 4).reshape(nw, N, C)
-    tw = nw  # downstream treats the fused (batch x window) axis uniformly
 
-    h = _ln(xw, ln1_s[0], ln1_b[0])
+    h = _ln(xw, ln1_s, ln1_b)
     qkv = (
-        jnp.dot(mm(h.reshape(tw * N, C)), mm(w_qkv[:]), precision=prec,
+        jnp.dot(mm(h.reshape(nw * N, C)), mm(w_qkv), precision=prec,
                 preferred_element_type=jnp.float32)
-        + b_qkv[0]
-    ).reshape(tw, N, 3 * Cp)  # sublane split only; Mosaic can't split lanes
-    mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
+        + b_qkv
+    ).reshape(nw, N, 3 * Cp)  # sublane split only; Mosaic can't split lanes
     # per-head loop: lane-dim slices (32-aligned via hdp padding) keep
-    # reshapes legal; matmuls get a single batch dim (tw), which Mosaic
+    # reshapes legal; matmuls get a single batch dim (nw), which Mosaic
     # supports
     outs = []
     for hh in range(heads):
@@ -108,8 +103,8 @@ def _kernel(
             mm(qh * (hd ** -0.5)), mm(kh),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             precision=prec, preferred_element_type=jnp.float32,
-        )  # (tw, N, N); padded tail dims are exact zeros -> no logit change
-        a = a + bias_ref[hh]
+        )  # (nw, N, N); padded tail dims are exact zeros -> no logit change
+        a = a + bias[hh]
         if mask is not None:
             a = a + mask
         a = jax.nn.softmax(a, axis=-1)
@@ -119,36 +114,99 @@ def _kernel(
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=jnp.float32,
             )
-        )  # (tw, N, hdp)
-    o = jnp.concatenate(outs, axis=-1).reshape(tw * N, Cp)
+        )  # (nw, N, hdp)
+    o = jnp.concatenate(outs, axis=-1).reshape(nw * N, Cp)
     o = (
-        jnp.dot(mm(o), mm(w_proj[:]), precision=prec,
+        jnp.dot(mm(o), mm(w_proj), precision=prec,
                 preferred_element_type=jnp.float32)
-        + b_proj[0]
-    ).reshape(tw, N, C)
+        + b_proj
+    ).reshape(nw, N, C)
 
     h1 = xw + o
-    m = _ln(h1, ln2_s[0], ln2_b[0]).reshape(tw * N, C)
+    m = _ln(h1, ln2_s, ln2_b).reshape(nw * N, C)
     m = (
-        jnp.dot(mm(m), mm(w_fc1[:]), precision=prec,
+        jnp.dot(mm(m), mm(w_fc1), precision=prec,
                 preferred_element_type=jnp.float32)
-        + b_fc1[0]
+        + b_fc1
     )
     m = _gelu_exact(m)
     m = (
-        jnp.dot(mm(m), mm(w_fc2[:]), precision=prec,
+        jnp.dot(mm(m), mm(w_fc2), precision=prec,
                 preferred_element_type=jnp.float32)
-        + b_fc2[0]
-    ).reshape(tw, N, C)
+        + b_fc2
+    ).reshape(nw, N, C)
     out = h1 + m
-
-    # back to spatial (bb, win, win*tw, C); undo the W roll
-    out = out.reshape(bb, tw // bb, win, win, C).transpose(
+    return out.reshape(bb, tw, win, win, C).transpose(
         0, 2, 1, 3, 4
-    ).reshape(bb, win, (tw // bb) * win, C)
+    ).reshape(bb, win, cw, C)
+
+
+def _kernel(
+    x_ref, mask_ref,
+    w_qkv, b_qkv, w_proj, b_proj, bias_ref,
+    ln1_s, ln1_b, ln2_s, ln2_b,
+    w_fc1, b_fc1, w_fc2, b_fc2,
+    out_ref,
+    *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
+    hdp: int, mm_dtype, roll_w: int,
+):
+    x = x_ref[:]  # (bb, win, win*tw, C)
+    if roll_w:
+        # shifted blocks: the W-axis cyclic shift happens here in VMEM (the
+        # instance sees the full width when tw == W//win); the H-axis roll
+        # stays an XLA op outside (it crosses grid tiles). Left-roll by
+        # roll_w == two slices + concat.
+        x = jnp.concatenate([x[:, :, roll_w:], x[:, :, :roll_w]], axis=2)
+    mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
+    out = _strip_block(
+        x, mask, bias_ref[:],
+        w_qkv[:], b_qkv[0], w_proj[:], b_proj[0],
+        ln1_s[0], ln1_b[0], ln2_s[0], ln2_b[0],
+        w_fc1[:], b_fc1[0], w_fc2[:], b_fc2[0],
+        win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+    )
     if roll_w:
         out = jnp.concatenate([out[:, :, -roll_w:], out[:, :, :-roll_w]], axis=2)
     out_ref[:] = out
+
+
+def _prep_weights(p, C, num_heads, hdp, bias, wdtype=jnp.float32):
+    """Pad/reshape one block's params into the kernel argument tuple.
+
+    wdtype: storage dtype for the four matmul matrices (bfloat16 halves both
+    VMEM footprint and weight DMA traffic; the kernel casts to mm_dtype
+    anyway so passing bf16 when mm_dtype=bf16 is numerically identical).
+    Biases/LN params stay f32. Order matches _kernel's weight refs.
+    """
+    hd = C // num_heads
+    Cp = num_heads * hdp
+    v1 = lambda a: jnp.asarray(a).reshape(1, -1)  # 1-D params as 2-D rows
+    w_qkv = jnp.asarray(p["attn"]["qkv"]["kernel"])  # (C, 3C), cols [3][h][d]
+    b_qkv = jnp.asarray(p["attn"]["qkv"]["bias"])
+    w_proj = jnp.asarray(p["attn"]["proj"]["kernel"])  # (C, C), rows [h][d]
+    if hdp != hd:
+        pad = ((0, 0), (0, 0), (0, 0), (0, hdp - hd))
+        w_qkv = jnp.pad(w_qkv.reshape(C, 3, num_heads, hd), pad).reshape(
+            C, 3 * Cp
+        )
+        b_qkv = jnp.pad(
+            b_qkv.reshape(3, num_heads, hd), pad[1:]
+        ).reshape(3 * Cp)
+        w_proj = jnp.pad(
+            w_proj.reshape(num_heads, hd, C),
+            ((0, 0), (0, hdp - hd), (0, 0)),
+        ).reshape(Cp, C)
+    return (
+        w_qkv.astype(wdtype), b_qkv.reshape(1, -1),
+        w_proj.astype(wdtype), v1(p["attn"]["proj"]["bias"]),
+        bias,
+        v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
+        v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
+        jnp.asarray(p["mlp"]["fc1"]["kernel"]).astype(wdtype),
+        v1(p["mlp"]["fc1"]["bias"]),
+        jnp.asarray(p["mlp"]["fc2"]["kernel"]).astype(wdtype),
+        v1(p["mlp"]["fc2"]["bias"]),
+    )
 
 
 def fused_swin_block(
@@ -216,33 +274,7 @@ def fused_swin_block(
     else:
         mask_arr = mask.reshape(nwh, nww // tw, tw, N, N)
 
-    p = params
-    v1 = lambda a: jnp.asarray(a).reshape(1, -1)  # 1-D params as 2-D rows
-    w_qkv = jnp.asarray(p["attn"]["qkv"]["kernel"])  # (C, 3C), cols [3][h][d]
-    b_qkv = jnp.asarray(p["attn"]["qkv"]["bias"])
-    w_proj = jnp.asarray(p["attn"]["proj"]["kernel"])  # (C, C), rows [h][d]
-    if hdp != hd:
-        pad = ((0, 0), (0, 0), (0, 0), (0, hdp - hd))
-        w_qkv = jnp.pad(w_qkv.reshape(C, 3, num_heads, hd), pad).reshape(
-            C, 3 * Cp
-        )
-        b_qkv = jnp.pad(
-            b_qkv.reshape(3, num_heads, hd), pad[1:]
-        ).reshape(3 * Cp)
-        w_proj = jnp.pad(
-            w_proj.reshape(num_heads, hd, C),
-            ((0, 0), (0, hdp - hd), (0, 0)),
-        ).reshape(Cp, C)
-    args = (
-        x, mask_arr,
-        w_qkv, b_qkv.reshape(1, -1),
-        w_proj, v1(p["attn"]["proj"]["bias"]),
-        bias,
-        v1(p["norm1"]["scale"]), v1(p["norm1"]["bias"]),
-        v1(p["norm2"]["scale"]), v1(p["norm2"]["bias"]),
-        p["mlp"]["fc1"]["kernel"], v1(p["mlp"]["fc1"]["bias"]),
-        p["mlp"]["fc2"]["kernel"], v1(p["mlp"]["fc2"]["bias"]),
-    )
+    args = (x, mask_arr) + _prep_weights(params, C, num_heads, hdp, bias)
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -268,5 +300,185 @@ def fused_swin_block(
         out_specs=pl.BlockSpec(
             (bb, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Block-PAIR fusion: (regular, shifted) swin blocks + both cyclic rolls in one
+# kernel. Ablation (bench/kernel_ablate.py) shows the single-block kernel runs
+# at the HBM-bandwidth floor (cost == a pure copy of x), so the only remaining
+# lever is fewer HBM passes: per pair, XLA does ~8 passes over x (2 kernel
+# read/writes + 2 two-pass H-rolls); the pair kernel does exactly 2 (one read,
+# one write) with the intermediate held in a VMEM scratch map. The H/W cyclic
+# shifts degenerate into STATIC strip offsets: the shifted block's tile (i, j)
+# reads scratch rows [i*win+s, i*win+win+s) mod H and cols [j*cw+s, ...) mod W
+# — wraparound tiles are 2-4 static slices concatenated, no rolled copy ever
+# materializes.
+# ---------------------------------------------------------------------------
+
+
+def _read_tile(ref, r0, nr, c0, nc, H, W):
+    """Rows [r0, r0+nr) mod H x cols [c0, c0+nc) mod W from (bb, H, W, C)."""
+    rparts = [(r0, min(nr, H - r0))]
+    if r0 + nr > H:
+        rparts.append((0, r0 + nr - H))
+    cparts = [(c0, min(nc, W - c0))]
+    if c0 + nc > W:
+        cparts.append((0, c0 + nc - W))
+    rows = []
+    for rs, rl in rparts:
+        cols = [ref[:, rs : rs + rl, cs : cs + cl, :] for cs, cl in cparts]
+        rows.append(cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=2))
+    return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=1)
+
+
+def _write_tile(ref, val, r0, c0, H, W):
+    """Write val (bb, nr, nc, C) to rows [r0, r0+nr) mod H, cols mod W."""
+    nr, nc = val.shape[1], val.shape[2]
+    rparts = [(r0, 0, min(nr, H - r0))]
+    if r0 + nr > H:
+        rparts.append((0, H - r0, r0 + nr - H))
+    cparts = [(c0, 0, min(nc, W - c0))]
+    if c0 + nc > W:
+        cparts.append((0, W - c0, c0 + nc - W))
+    for rs, vr, rl in rparts:
+        for cs, vc, cl in cparts:
+            ref[:, rs : rs + rl, cs : cs + cl, :] = val[
+                :, vr : vr + rl, vc : vc + cl, :
+            ]
+
+
+def _pair_kernel(
+    x_ref, mask_ref,
+    a_qkv, a_bqkv, a_proj, a_bproj, a_bias, a_l1s, a_l1b, a_l2s, a_l2b,
+    a_f1, a_bf1, a_f2, a_bf2,
+    b_qkv, b_bqkv, b_proj, b_bproj, b_bias, b_l1s, b_l1b, b_l2s, b_l2b,
+    b_f1, b_bf1, b_f2, b_bf2,
+    out_ref, scr,
+    *, bb: int, win: int, heads: int, hdp: int, mm_dtype, shift: int, cw: int,
+):
+    H, W = x_ref.shape[1], x_ref.shape[2]
+    nwh = H // win
+    twc = cw // win
+    nj = W // cw
+    kw = dict(win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype)
+    wA = (a_qkv[:], a_bqkv[0], a_proj[:], a_bproj[0], a_l1s[0], a_l1b[0],
+          a_l2s[0], a_l2b[0], a_f1[:], a_bf1[0], a_f2[:], a_bf2[0])
+    wB = (b_qkv[:], b_bqkv[0], b_proj[:], b_bproj[0], b_l1s[0], b_l1b[0],
+          b_l2s[0], b_l2b[0], b_f1[:], b_bf1[0], b_f2[:], b_bf2[0])
+    # Block A (no shift): tile over whole windows, x -> scratch (stays VMEM)
+    for i in range(nwh):
+        for j in range(nj):
+            xs = x_ref[:, i * win : (i + 1) * win, j * cw : (j + 1) * cw, :]
+            scr[:, i * win : (i + 1) * win, j * cw : (j + 1) * cw, :] = (
+                _strip_block(xs, None, a_bias[:], *wA, **kw)
+            )
+    # Block B (shift s): the roll is a static tile offset; mask row i matches
+    # rolled window-row i because scratch rows [i*win+s, ...) ARE rolled rows
+    # [i*win, ...).
+    for i in range(nwh):
+        r0 = i * win + shift
+        for j in range(nj):
+            c0 = (j * cw + shift) % W
+            xs = _read_tile(scr, r0, win, c0, cw, H, W)
+            m = jnp.tile(mask_ref[i, j * twc : (j + 1) * twc, :, :], (bb, 1, 1))
+            y = _strip_block(xs, m, b_bias[:], *wB, **kw)
+            _write_tile(out_ref, y, r0, c0, H, W)
+
+
+def pair_plan(B, H, W, C, heads, hidden, mm_dtype, window=8,
+              budget=(14 << 20)):
+    """(bb, cw) if the pair kernel fits scoped VMEM for these dims, else None.
+
+    Same calibrated per-token activation model as fused_swin_block's bb
+    heuristic; the per-row fixed cost is 5 full maps (double-buffered in/out
+    + scratch). cw shrinks (fewer tokens in flight) before giving up.
+    """
+    hd = C // heads
+    hdp = ((hd + 31) // 32) * 32
+    Cp = heads * hdp
+    N = window * window
+    wbytes = 2 if mm_dtype == jnp.bfloat16 else 4
+    weights = 2 * (C * 3 * Cp + Cp * C + C * hidden + hidden * C) * wbytes
+    fixed = weights + 2 * heads * N * N * 4 + (H // window) * (W // window) * N * N * 4
+    maps_row = 5 * H * W * C * 4
+    for cw in (W, W // 2, W // 4):
+        if cw < window or W % cw or cw % window:
+            continue
+        act_row = window * cw * (13 * C + 4 * Cp + hidden + heads * N) * 4
+        bb = (budget - fixed) // (act_row + maps_row)
+        if bb >= 1:
+            bb = min(B, bb)
+            while B % bb:
+                bb -= 1
+            return bb, cw
+    return None
+
+
+def fused_swin_pair(
+    x: jnp.ndarray,
+    params_a: dict,
+    params_b: dict,
+    bias_a: jnp.ndarray,
+    bias_b: jnp.ndarray,
+    mask: jnp.ndarray,
+    *,
+    window: int = 8,
+    num_heads: int,
+    shift: int,
+    bb: Optional[int] = None,
+    cw: Optional[int] = None,
+    interpret: bool = False,
+    pad_head_dim: bool = True,
+    mm_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(regular block a, shifted block b) on spatial x (B, H, W, C), fused.
+
+    Equivalent to: fused_swin_block(x, params_a, ...) then roll(-s, -s),
+    fused_swin_block(., params_b, mask, ...), roll(+s, +s) — but with ONE
+    HBM read and ONE write of x total. mask is the shifted-window additive
+    mask (nW, N, N) for block b (required: shift > 0).
+    """
+    B, H, W, C = x.shape
+    assert shift > 0 and mask is not None
+    win = window
+    nwh, nww = H // win, W // win
+    N = win * win
+    hd = C // num_heads
+    hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
+    hidden = params_a["mlp"]["fc1"]["kernel"].shape[1]
+    if bb is None or cw is None:
+        plan = pair_plan(B, H, W, C, num_heads, hidden, mm_dtype, win)
+        assert plan is not None, "pair kernel does not fit VMEM for these dims"
+        bb = bb if bb is not None else plan[0]
+        cw = cw if cw is not None else plan[1]
+    assert B % bb == 0 and W % cw == 0 and cw % win == 0
+    wdtype = mm_dtype  # bf16 weights in HBM when the matmuls are bf16 anyway
+    args = (
+        x,
+        mask.reshape(nwh, nww, N, N),
+        *_prep_weights(params_a, C, num_heads, hdp, bias_a, wdtype),
+        *_prep_weights(params_b, C, num_heads, hdp, bias_b, wdtype),
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    wspecs = [full(a.shape) for a in args[2:]]
+    return pl.pallas_call(
+        functools.partial(
+            _pair_kernel, bb=bb, win=win, heads=num_heads, hdp=hdp,
+            mm_dtype=mm_dtype, shift=shift, cw=cw,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            full((nwh, nww, N, N)),
+        ] + wspecs,
+        out_specs=pl.BlockSpec(
+            (bb, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bb, H, W, C), jnp.float32)],
         interpret=interpret,
     )(*args)

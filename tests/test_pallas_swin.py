@@ -113,6 +113,66 @@ def test_bf16_kernel_close_and_autobb_feasible():
     assert cos.min() > 0.999
 
 
+def _two_blocks(C, res, heads, shift, seed=0):
+    """(regular, shifted) flax SwinBlock pair + params/bias/mask fixtures."""
+    from heart_murmur_detection_tpu.ops.pallas_swin import fused_swin_pair
+
+    H, W = res
+    mk = lambda s: SwinBlock(
+        dim=C, input_resolution=res, num_heads=heads, window=8, shift=s,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    blkA, blkB = mk(0), mk(shift)
+    r = np.random.default_rng(seed)
+    x = jnp.asarray(r.standard_normal((2, H * W, C)) * 0.5, jnp.float32)
+    vA = blkA.init(jax.random.PRNGKey(0), x)
+    vB = blkB.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(blkB.apply(vB, blkA.apply(vA, x)))
+
+    def bias_of(v):
+        p = v["params"]
+        t = np.asarray(p["attn"]["relative_position_bias_table"])
+        ri = _relative_position_index(8, 8).reshape(-1)
+        return jnp.asarray(t[ri].reshape(64, 64, heads).transpose(2, 0, 1))
+
+    mask = jnp.asarray(_shift_attn_mask(H, W, 8, shift))
+    run = lambda **kw: np.asarray(
+        fused_swin_pair(
+            x.reshape(2, H, W, C), vA["params"], vB["params"],
+            bias_of(vA), bias_of(vB), mask,
+            num_heads=heads, shift=shift, interpret=True, **kw,
+        )
+    ).reshape(2, H * W, C)
+    return run, want
+
+
+def test_fused_pair_matches_two_flax_blocks():
+    """Pair kernel == two sequential flax blocks (incl. both cyclic rolls).
+
+    16x16 geometry already exercises every wraparound case: with cw=W the
+    shifted block's last tile needs 2x2 corner reads/writes (rows AND cols
+    wrap)."""
+    run, want = _two_blocks(96, (16, 16), 4, 4)
+    got = run()
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_fused_pair_bf16_stage3_feasible_and_close():
+    """C=384 pair fits VMEM only with bf16 weights (pair_plan: f32 -> None);
+    bf16 matmuls with f32 accumulation stay ~1e-2 of f32."""
+    from heart_murmur_detection_tpu.ops.pallas_swin import pair_plan
+
+    assert pair_plan(2, 16, 16, 384, 16, 1536, jnp.float32) is None
+    assert pair_plan(2, 16, 16, 384, 16, 1536, jnp.bfloat16) is not None
+    run, want = _two_blocks(384, (16, 16), 16, 4)
+    got = run(mm_dtype=jnp.bfloat16)
+    assert np.abs(got - want).max() < 1e-1
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+
 def test_extractor_fused_default_off_on_cpu():
     """use_fused_htsat=None resolves to False on CPU (pallas interpret would
     be slow) — the exact XLA path stays the test/CPU default."""
@@ -140,11 +200,22 @@ class TestFusedHTSAT:
         want = np.asarray(model.apply(v, mel)["latent_output"])
 
         orig = hf.fused_swin_block
+        orig_pair = hf.fused_swin_pair
 
         def interp(*a, **k):
             k["interpret"] = True
             return orig(*a, **k)
 
-        with mock.patch.object(hf, "fused_swin_block", interp):
+        def interp_pair(*a, **k):
+            k["interpret"] = True
+            return orig_pair(*a, **k)
+
+        with mock.patch.object(hf, "fused_swin_block", interp), mock.patch.object(
+            hf, "fused_swin_pair", interp_pair
+        ):
             got = np.asarray(hf.htsat_apply_fused(v, mel, cfg=cfg))
+            got_nopair = np.asarray(
+                hf.htsat_apply_fused(v, mel, cfg=cfg, use_pair=False)
+            )
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(got_nopair, want, atol=2e-4, rtol=1e-3)
