@@ -34,7 +34,7 @@ def make_kernel(mode):
     one_head (full but a single head's attention result reused 4x)"""
     def _kernel(x_ref, mask_ref, w_qkv, b_qkv, w_proj, b_proj, bias_ref,
                 ln1_s, ln1_b, ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2,
-                out_ref, *, bb, tw, win, heads, use_mask, hdp, mm_dtype, roll_w):
+                out_ref, *, bb, tw, win, heads, use_mask, hdp, mm_dtype, roll_w, **_):
         C = x_ref.shape[-1]
         hd = C // heads
         Nn = win * win
@@ -57,6 +57,24 @@ def make_kernel(mode):
                    ).reshape(tww, Nn, 3 * Cp)
             if mode == "no_attn":
                 o = qkv[:, :, :Cp]
+            elif mode in ("batched_heads", "batched_fast"):
+                nwv = tww
+                qs = jnp.concatenate([qkv[:, :, hh*hdp:hh*hdp+hdp] for hh in range(heads)], 0)
+                ks = jnp.concatenate([qkv[:, :, Cp+hh*hdp:Cp+hh*hdp+hdp] for hh in range(heads)], 0)
+                vs = jnp.concatenate([qkv[:, :, 2*Cp+hh*hdp:2*Cp+hh*hdp+hdp] for hh in range(heads)], 0)
+                a = jax.lax.dot_general(mm(qs * (hd ** -0.5)), mm(ks),
+                                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                                        precision=prec, preferred_element_type=jnp.float32)
+                a = a + jnp.repeat(bias_ref[:], nwv, axis=0)
+                if mode == "batched_fast":
+                    e = jnp.exp(a)
+                    a = e / jnp.sum(e, -1, keepdims=True)
+                else:
+                    a = jax.nn.softmax(a, axis=-1)
+                ost = jax.lax.dot_general(mm(a), mm(vs),
+                                          dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                                          precision=prec, preferred_element_type=jnp.float32)
+                o = jnp.concatenate([ost[hh*nwv:(hh+1)*nwv] for hh in range(heads)], axis=-1)
             else:
                 outs = []
                 nh = 1 if mode == "one_head" else heads
@@ -68,7 +86,10 @@ def make_kernel(mode):
                                             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                                             precision=prec, preferred_element_type=jnp.float32)
                     a = a + bias_ref[hh]
-                    if mode != "no_softmax":
+                    if mode == "fast_softmax":
+                        e = jnp.exp(a)
+                        a = e / jnp.sum(e, -1, keepdims=True)
+                    elif mode != "no_softmax":
                         a = jax.nn.softmax(a, axis=-1)
                     outs.append(jax.lax.dot_general(mm(a), mm(vh),
                                                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -116,7 +137,8 @@ def run_variant(mode):
         ps._kernel = orig
 
 variants = {}
-for mode in ("full", "no_mlp", "no_attn", "ln_only", "copy", "no_gelu", "no_softmax", "one_head"):
+MODES = os.environ.get("MODES", "full,no_mlp,no_attn,ln_only,copy,no_gelu,no_softmax,one_head").split(",")
+for mode in MODES:
     try:
         variants[mode] = run_variant(mode)
         print("compiled", mode, flush=True)

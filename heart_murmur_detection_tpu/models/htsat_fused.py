@@ -76,6 +76,7 @@ def htsat_apply_fused(
     max_fused_dim: int = None,
     mm_dtype=jnp.float32,
     use_pair: bool = True,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
 
@@ -154,7 +155,7 @@ def htsat_apply_fused(
                     x.reshape(B, H, W, dim), p, p2,
                     block_bias(p), block_bias(p2), mask,
                     window=window, num_heads=heads, shift=shift_next,
-                    mm_dtype=mm_dtype,
+                    mm_dtype=mm_dtype, fast_softmax=fast_softmax,
                 )
                 x = xs.reshape(B, H * W, dim)
                 b += 2
@@ -171,7 +172,7 @@ def htsat_apply_fused(
                     xs = jnp.roll(xs, -shift, axis=1)
                 xs = fused_swin_block(
                     xs, p, bias, mask, window=window, num_heads=heads,
-                    mm_dtype=mm_dtype, roll_w=shift,
+                    mm_dtype=mm_dtype, roll_w=shift, fast_softmax=fast_softmax,
                 )
                 if shift:
                     xs = jnp.roll(xs, shift, axis=1)

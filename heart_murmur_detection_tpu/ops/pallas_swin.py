@@ -65,7 +65,7 @@ def _strip_block(
     w_qkv, b_qkv, w_proj, b_proj,
     ln1_s, ln1_b, ln2_s, ln2_b,
     w_fc1, b_fc1, w_fc2, b_fc2,
-    *, win: int, heads: int, hdp: int, mm_dtype,
+    *, win: int, heads: int, hdp: int, mm_dtype, fast_softmax: bool = False,
 ):
     """One swin block on a spatial tile x (bb, win, cw, C) of whole windows.
 
@@ -91,31 +91,39 @@ def _strip_block(
                 preferred_element_type=jnp.float32)
         + b_qkv
     ).reshape(nw, N, 3 * Cp)  # sublane split only; Mosaic can't split lanes
-    # per-head loop: lane-dim slices (32-aligned via hdp padding) keep
-    # reshapes legal; matmuls get a single batch dim (nw), which Mosaic
-    # supports
-    outs = []
-    for hh in range(heads):
-        qh = qkv[:, :, hh * hdp : hh * hdp + hdp]
-        kh = qkv[:, :, Cp + hh * hdp : Cp + hh * hdp + hdp]
-        vh = qkv[:, :, 2 * Cp + hh * hdp : 2 * Cp + hh * hdp + hdp]
-        a = jax.lax.dot_general(
-            mm(qh * (hd ** -0.5)), mm(kh),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            precision=prec, preferred_element_type=jnp.float32,
-        )  # (nw, N, N); padded tail dims are exact zeros -> no logit change
-        a = a + bias[hh]
-        if mask is not None:
-            a = a + mask
+    # Head-BATCHED attention: stack the per-head lane slices (32-aligned via
+    # hdp padding) along the batch (sublane) axis and run ONE qk dot, ONE
+    # softmax and ONE av dot over a heads*nw batch — measured 0.25 ms/block
+    # faster than a per-head loop at stage-1 geometry (bench/kernel_ablate:
+    # 'batched_heads'), numerically identical (same ops, bigger batch).
+    hcat = lambda off: jnp.concatenate(
+        [qkv[:, :, off + hh * hdp : off + hh * hdp + hdp] for hh in range(heads)], 0
+    )  # (heads*nw, N, hdp), head-major
+    qs, ks, vs = hcat(0), hcat(Cp), hcat(2 * Cp)
+    a = jax.lax.dot_general(
+        mm(qs * (hd ** -0.5)), mm(ks),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32,
+    )  # (heads*nw, N, N); padded tail dims are exact zeros -> no logit change
+    a = a + jnp.repeat(bias, nw, axis=0)
+    if mask is not None:
+        a = a + jnp.tile(mask, (heads, 1, 1))
+    if fast_softmax:
+        # unstabilized: skips the rowwise max pass (-0.19 ms/block). Safe
+        # while logits < 88 (f32 exp overflow); LN-bounded activations keep
+        # swin logits far below that, but this is opt-in, off by default.
+        e = jnp.exp(a)
+        a = e / jnp.sum(e, -1, keepdims=True)
+    else:
         a = jax.nn.softmax(a, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                mm(a), mm(vh),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=prec, preferred_element_type=jnp.float32,
-            )
-        )  # (nw, N, hdp)
-    o = jnp.concatenate(outs, axis=-1).reshape(nw * N, Cp)
+    ost = jax.lax.dot_general(
+        mm(a), mm(vs),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=prec, preferred_element_type=jnp.float32,
+    )  # (heads*nw, N, hdp)
+    o = jnp.concatenate(
+        [ost[hh * nw : (hh + 1) * nw] for hh in range(heads)], axis=-1
+    ).reshape(nw * N, Cp)
     o = (
         jnp.dot(mm(o), mm(w_proj), precision=prec,
                 preferred_element_type=jnp.float32)
@@ -148,7 +156,7 @@ def _kernel(
     w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
     *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
-    hdp: int, mm_dtype, roll_w: int,
+    hdp: int, mm_dtype, roll_w: int, fast_softmax: bool = False,
 ):
     x = x_ref[:]  # (bb, win, win*tw, C)
     if roll_w:
@@ -164,6 +172,7 @@ def _kernel(
         ln1_s[0], ln1_b[0], ln2_s[0], ln2_b[0],
         w_fc1[:], b_fc1[0], w_fc2[:], b_fc2[0],
         win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+        fast_softmax=fast_softmax,
     )
     if roll_w:
         out = jnp.concatenate([out[:, :, -roll_w:], out[:, :, :-roll_w]], axis=2)
@@ -223,6 +232,7 @@ def fused_swin_block(
     pad_head_dim: bool = True,
     mm_dtype=jnp.float32,
     roll_w: int = 0,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """One swin block on spatial input x (B, H, W, C).
 
@@ -283,7 +293,7 @@ def fused_swin_block(
     return pl.pallas_call(
         functools.partial(
             _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask,
-            hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w,
+            hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w, fast_softmax=fast_softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         grid=grid,
@@ -357,12 +367,14 @@ def _pair_kernel(
     b_f1, b_bf1, b_f2, b_bf2,
     out_ref, scr,
     *, bb: int, win: int, heads: int, hdp: int, mm_dtype, shift: int, cw: int,
+    fast_softmax: bool = False,
 ):
     H, W = x_ref.shape[1], x_ref.shape[2]
     nwh = H // win
     twc = cw // win
     nj = W // cw
-    kw = dict(win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype)
+    kw = dict(win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+              fast_softmax=fast_softmax)
     wA = (a_qkv[:], a_bqkv[0], a_proj[:], a_bproj[0], a_l1s[0], a_l1b[0],
           a_l2s[0], a_l2b[0], a_f1[:], a_bf1[0], a_f2[:], a_bf2[0])
     wB = (b_qkv[:], b_bqkv[0], b_proj[:], b_bproj[0], b_l1s[0], b_l1b[0],
@@ -432,6 +444,7 @@ def fused_swin_pair(
     interpret: bool = False,
     pad_head_dim: bool = True,
     mm_dtype=jnp.float32,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """(regular block a, shifted block b) on spatial x (B, H, W, C), fused.
 
@@ -468,7 +481,7 @@ def fused_swin_pair(
     return pl.pallas_call(
         functools.partial(
             _pair_kernel, bb=bb, win=win, heads=num_heads, hdp=hdp,
-            mm_dtype=mm_dtype, shift=shift, cw=cw,
+            mm_dtype=mm_dtype, shift=shift, cw=cw, fast_softmax=fast_softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
         grid=(B // bb,),
