@@ -66,6 +66,7 @@ def _build_extractor(cfg):
         random_init=bool(cfg.get("random_init", False)),
         wire_format=cfg.get("wire_format", "int16"),
         source_sr=int(source_sr) if source_sr not in (None, "None") else None,
+        fast_softmax=bool(cfg.get("fast_softmax", False)),
     )
 
 
