@@ -20,6 +20,7 @@ HI = jax.lax.Precision.HIGHEST
 
 
 def _ln(x, p, eps=1e-5):
+    x = x.astype(jnp.float32)  # stats in f32 for the bf16 activation flow
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
@@ -77,6 +78,7 @@ def htsat_apply_fused(
     mm_dtype=jnp.float32,
     use_pair: bool = True,
     fast_softmax: bool = False,
+    act_dtype=None,
 ) -> jnp.ndarray:
     """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
 
@@ -124,6 +126,15 @@ def htsat_apply_fused(
     B_, Hp, Wp, D = x.shape
     x = _ln(x.reshape(B, Hp * Wp, D), pe["norm"])
 
+    # bf16 activation flow: between fused blocks x lives in bf16 (kernel maps,
+    # HBM hand-offs, downsample) — halves bandwidth and VMEM footprint, with
+    # f32 islands for LN stats / softmax / gelu inside the kernel. The jnp
+    # fallback stages (C=768) compute in f32 as before. act_dtype=None
+    # follows mm_dtype (bf16 matmuls -> bf16 activation storage).
+    if act_dtype is None:
+        act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
+    x = x.astype(act_dtype)
+
     res = (Hp, Wp)
     for i_layer, depth in enumerate(cfg.depths):
         dim = int(cfg.embed_dim * 2**i_layer)
@@ -147,7 +158,8 @@ def htsat_apply_fused(
             if (
                 use_pair and fuse_ok and shift == 0 and b + 1 < depth
                 and shift_next
-                and pair_plan(B, H, W, dim, heads, hidden, mm_dtype, window)
+                and pair_plan(B, H, W, dim, heads, hidden, mm_dtype, window,
+                              act_dtype=act_dtype)
             ):
                 p2 = params[f"layers_{i_layer}_blocks_{b + 1}"]
                 mask = jnp.asarray(_shift_attn_mask(H, W, window, shift_next))
@@ -178,7 +190,10 @@ def htsat_apply_fused(
                     xs = jnp.roll(xs, shift, axis=1)
                 x = xs.reshape(B, H * W, dim)
             else:
-                x = _block_jnp(x, p, H, W, heads, window, shift, bias, mask)
+                x = _block_jnp(
+                    x.astype(jnp.float32), p, H, W, heads, window, shift,
+                    bias, mask,
+                )
             b += 1
         if i_layer < len(cfg.depths) - 1:
             pm = params[f"layers_{i_layer}_downsample"]
@@ -187,7 +202,16 @@ def htsat_apply_fused(
                 [xs[:, 0::2, 0::2], xs[:, 1::2, 0::2], xs[:, 0::2, 1::2], xs[:, 1::2, 1::2]],
                 axis=-1,
             ).reshape(B, -1, 4 * dim)
-            x = _ln(xs, pm["norm"]) @ pm["reduction"]["kernel"]
+            m = _ln(xs, pm["norm"])
+            if act_dtype == jnp.bfloat16 and dim * 2 <= max_fused_dim:
+                x = jnp.matmul(
+                    m.astype(act_dtype),
+                    pm["reduction"]["kernel"].astype(act_dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(act_dtype)
+            else:
+                # next stage runs in the jnp fallback: stay f32
+                x = m @ pm["reduction"]["kernel"]
             res = (H // 2, W // 2)
 
     x = _ln(x, params["norm"])

@@ -51,14 +51,13 @@ def _bases(n_fft: int, sr: int, n_mels: int, fmin: float, fmax: float):
     return cos, sin, fb
 
 
-def _kernel(a_ref, b_ref, cos_ref, sin_ref, fb_ref, out_ref, *, tile, hop, n_fft):
+def _kernel(a_ref, b_ref, cos_ref, sin_ref, fb_ref, out_ref, *, tile, hop, n_fft, prec):
     # frame i = chunk i ++ chunk i+1; a/b are the two aligned chunk streams
     frames = jnp.concatenate([a_ref[0], b_ref[0]], axis=1)  # (TILE, n_fft)
-    hi = jax.lax.Precision.HIGHEST  # fp32-accurate MXU passes, parity with dsp
-    re = jnp.dot(frames, cos_ref[:], precision=hi, preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    re = jnp.dot(frames, cos_ref[:], precision=prec, preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, sin_ref[:], precision=prec, preferred_element_type=jnp.float32)
     power = re * re + im * im
-    mel = jnp.dot(power, fb_ref[:], precision=hi, preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], precision=prec, preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log10(jnp.maximum(mel, 1e-10))
 
 
@@ -72,12 +71,17 @@ def fused_logmel(
     hop: int = 512,
     tile: int = 64,
     interpret: bool = False,
+    precision=None,
 ) -> jnp.ndarray:
     """log10 mel power for (B, N) waveforms -> (B, T, n_mels_padded[:n_mels]).
 
     N must be a multiple of hop; T = N//hop + 1 rounded down to tile grid
     coverage (callers pass padded buffers; invalid frames masked downstream,
     matching audio/dsp.mel_frontend semantics).
+
+    precision: MXU pass count for the DFT/mel matmuls. None = HIGHEST
+    (bf16x6, strict f32 librosa parity); HIGH = bf16x3 (~1e-7 rel err,
+    matches the bf16 extraction path's XLA mel).
     """
     assert hop * 2 == n_fft
     B, N = wav.shape
@@ -93,9 +97,10 @@ def fused_logmel(
     a = x[:, :Tpad]  # chunk i   (first half of frame i)
     b = x[:, 1 : Tpad + 1]  # chunk i+1 (second half)
 
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     grid = (B, Tpad // tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, tile=tile, hop=hop, n_fft=n_fft),
+        functools.partial(_kernel, tile=tile, hop=hop, n_fft=n_fft, prec=prec),
         out_shape=jax.ShapeDtypeStruct((B, Tpad, pad_mels), jnp.float32),
         grid=grid,
         in_specs=[
@@ -123,11 +128,15 @@ def mel_frontend_pallas(
     top_db: float = 80.0,
     normalize: bool = True,
     interpret: bool = False,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for audio.dsp.mel_frontend using the fused kernel."""
     B, N = wav.shape
+    if jnp.issubdtype(wav.dtype, jnp.integer):
+        wav = wav.astype(jnp.float32) / 32768.0
     logm10 = fused_logmel(
-        wav, sr, n_mels, fmin, fmax, n_fft, hop, interpret=interpret
+        wav, sr, n_mels, fmin, fmax, n_fft, hop, interpret=interpret,
+        precision=precision,
     )
     T = logm10.shape[1]
     n_frames = (lengths // hop + 1).astype(jnp.int32)

@@ -55,6 +55,7 @@ def _gelu_exact(x):
 
 
 def _ln(x, scale, bias, eps=1e-5):
+    x = x.astype(jnp.float32)  # stats in f32 even for bf16 activation flow
     mu = x.mean(axis=-1, keepdims=True)
     var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
@@ -71,9 +72,14 @@ def _strip_block(
 
     All arguments are VALUES (already loaded from refs). mask is (bb*twc, N,
     N) additive or None; bias (heads, N, N); biases/LN params 1-D vectors.
-    Window partition/reverse happen as VMEM reshapes. Returns (bb, win, cw, C).
+    Window partition/reverse happen as VMEM reshapes. Returns (bb, win, cw, C)
+    in x.dtype: when the caller flows bf16 activations, intermediates that
+    only feed matmuls (qkv, attention output, residual carries) are stored
+    bf16 — halving VMEM liveness and VPU copy bytes — while LN stats,
+    softmax and gelu still compute in f32.
     """
     bb, _, cw, C = x.shape
+    act_dtype = x.dtype
     hd = C // heads
     N = win * win
     tw = cw // win
@@ -87,10 +93,14 @@ def _strip_block(
 
     h = _ln(xw, ln1_s, ln1_b)
     qkv = (
-        jnp.dot(mm(h.reshape(nw * N, C)), mm(w_qkv), precision=prec,
-                preferred_element_type=jnp.float32)
-        + b_qkv
-    ).reshape(nw, N, 3 * Cp)  # sublane split only; Mosaic can't split lanes
+        (
+            jnp.dot(mm(h.reshape(nw * N, C)), mm(w_qkv), precision=prec,
+                    preferred_element_type=jnp.float32)
+            + b_qkv
+        )
+        .astype(act_dtype)
+        .reshape(nw, N, 3 * Cp)
+    )  # sublane split only; Mosaic can't split lanes
     # Head-BATCHED attention: stack the per-head lane slices (32-aligned via
     # hdp padding) along the batch (sublane) axis and run ONE qk dot, ONE
     # softmax and ONE av dot over a heads*nw batch — measured 0.25 ms/block
@@ -120,7 +130,7 @@ def _strip_block(
         mm(a), mm(vs),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
-    )  # (heads*nw, N, hdp)
+    ).astype(act_dtype)  # (heads*nw, N, hdp)
     o = jnp.concatenate(
         [ost[hh * nw : (hh + 1) * nw] for hh in range(heads)], axis=-1
     ).reshape(nw * N, Cp)
@@ -130,21 +140,21 @@ def _strip_block(
         + b_proj
     ).reshape(nw, N, C)
 
-    h1 = xw + o
+    h1 = (xw.astype(jnp.float32) + o).astype(act_dtype)
     m = _ln(h1, ln2_s, ln2_b).reshape(nw * N, C)
     m = (
         jnp.dot(mm(m), mm(w_fc1), precision=prec,
                 preferred_element_type=jnp.float32)
         + b_fc1
     )
-    m = _gelu_exact(m)
+    m = _gelu_exact(m).astype(act_dtype)
     m = (
         jnp.dot(mm(m), mm(w_fc2), precision=prec,
                 preferred_element_type=jnp.float32)
         + b_fc2
     ).reshape(nw, N, C)
-    out = h1 + m
-    return out.reshape(bb, tw, win, win, C).transpose(
+    out = h1.astype(jnp.float32) + m
+    return out.astype(act_dtype).reshape(bb, tw, win, win, C).transpose(
         0, 2, 1, 3, 4
     ).reshape(bb, win, cw, C)
 
@@ -265,14 +275,20 @@ def fused_swin_block(
     hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
     Cp = num_heads * hdp
     hidden = params["mlp"]["fc1"]["kernel"].shape[1]
+    wbytes = 2 if mm_dtype == jnp.bfloat16 else 4
+    abytes = jnp.dtype(x.dtype).itemsize
     if bb is None:
         # batch rows per kernel instance: amortizes weight DMAs across the
         # grid, bounded by the 16MB scoped-VMEM limit. Model (calibrated on
         # observed Mosaic stack sizes): per-instance activations + double-
         # buffered in/out tiles + one copy of the weights, kept <= 13MB.
-        weights = (C * 3 * Cp + Cp * C + 2 * C * hidden) * 4
-        act_row = tw * N * (13 * C + 4 * Cp + hidden + num_heads * N) * 4
-        io_row = 4 * tw * N * C * 4
+        # bf16 activation flow (x.dtype == bfloat16) halves both the matmul-
+        # feeding intermediates and the io tiles, roughly doubling bb.
+        weights = (C * 3 * Cp + Cp * C + 2 * C * hidden) * wbytes
+        act_row = tw * N * (
+            (13 * C + 4 * Cp + hidden) * abytes + num_heads * N * 4
+        )
+        io_row = 4 * tw * N * C * abytes
         bb = ((13 << 20) - weights) // max(act_row + io_row, 1)
         bb = max(1, min(B, bb))
         while B % bb:
@@ -284,7 +300,9 @@ def fused_swin_block(
     else:
         mask_arr = mask.reshape(nwh, nww // tw, tw, N, N)
 
-    args = (x, mask_arr) + _prep_weights(params, C, num_heads, hdp, bias)
+    args = (x, mask_arr) + _prep_weights(
+        params, C, num_heads, hdp, bias, wdtype=mm_dtype
+    )
 
     full = lambda shape: pl.BlockSpec(
         shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -295,7 +313,7 @@ def fused_swin_block(
             _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask,
             hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w, fast_softmax=fast_softmax,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, win, win * tw, C), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM),
@@ -400,25 +418,30 @@ def _pair_kernel(
 
 
 def pair_plan(B, H, W, C, heads, hidden, mm_dtype, window=8,
-              budget=(14 << 20)):
+              budget=(14 << 20), act_dtype=jnp.float32):
     """(bb, cw) if the pair kernel fits scoped VMEM for these dims, else None.
 
     Same calibrated per-token activation model as fused_swin_block's bb
     heuristic; the per-row fixed cost is 5 full maps (double-buffered in/out
     + scratch). cw shrinks (fewer tokens in flight) before giving up.
+    act_dtype: storage dtype of the activation maps/intermediates (bf16
+    halves maps_row and most of act_row, roughly doubling bb).
     """
     hd = C // heads
     hdp = ((hd + 31) // 32) * 32
     Cp = heads * hdp
     N = window * window
     wbytes = 2 if mm_dtype == jnp.bfloat16 else 4
+    abytes = jnp.dtype(act_dtype).itemsize
     weights = 2 * (C * 3 * Cp + Cp * C + C * hidden + hidden * C) * wbytes
     fixed = weights + 2 * heads * N * N * 4 + (H // window) * (W // window) * N * N * 4
-    maps_row = 5 * H * W * C * 4
+    maps_row = 5 * H * W * C * abytes
     for cw in (W, W // 2, W // 4):
         if cw < window or W % cw or cw % window:
             continue
-        act_row = window * cw * (13 * C + 4 * Cp + hidden + heads * N) * 4
+        act_row = window * cw * (
+            (13 * C + 4 * Cp + hidden) * abytes + heads * N * 4
+        )
         bb = (budget - fixed) // (act_row + maps_row)
         if bb >= 1:
             bb = min(B, bb)
@@ -462,7 +485,8 @@ def fused_swin_pair(
     hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
     hidden = params_a["mlp"]["fc1"]["kernel"].shape[1]
     if bb is None or cw is None:
-        plan = pair_plan(B, H, W, C, num_heads, hidden, mm_dtype, win)
+        plan = pair_plan(B, H, W, C, num_heads, hidden, mm_dtype, win,
+                         act_dtype=x.dtype)
         assert plan is not None, "pair kernel does not fit VMEM for these dims"
         bb = bb if bb is not None else plan[0]
         cw = cw if cw is not None else plan[1]
@@ -483,7 +507,7 @@ def fused_swin_pair(
             _pair_kernel, bb=bb, win=win, heads=num_heads, hdp=hdp,
             mm_dtype=mm_dtype, shift=shift, cw=cw, fast_softmax=fast_softmax,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid=(B // bb,),
         in_specs=[
             pl.BlockSpec((bb, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -492,6 +516,6 @@ def fused_swin_pair(
         out_specs=pl.BlockSpec(
             (bb, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((bb, H, W, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bb, H, W, C), x.dtype)],
         interpret=interpret,
     )(*args)

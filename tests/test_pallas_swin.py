@@ -173,6 +173,78 @@ def test_fused_pair_bf16_stage3_feasible_and_close():
     assert cos.min() > 0.999
 
 
+def test_bf16_activation_flow_close():
+    """bf16 activation storage (x passed as bf16, bf16 maps) stays within
+    quantization distance of the all-f32 path: the kernel returns a bf16
+    output whose cosine vs f32 flax is >= 0.999 (extra rounding beyond
+    mm_dtype=bf16 comes only from the bf16 residual carries)."""
+    from heart_murmur_detection_tpu.ops.pallas_swin import fused_swin_pair
+
+    # single block, unshifted, stage-1 geometry
+    C, heads, H = 96, 4, 16
+    blk = SwinBlock(
+        dim=C, input_resolution=(H, H), num_heads=heads, window=8, shift=0,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.standard_normal((2, H * H, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    out = fused_swin_block(
+        x.reshape(2, H, H, C).astype(jnp.bfloat16), p, bias, None,
+        num_heads=heads, interpret=True, mm_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.bfloat16
+    got = np.asarray(out, np.float32).reshape(2, H * H, C)
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+
+def test_pair_bf16_activation_maps():
+    """Pair kernel accepts bf16 x (bf16 in/out/scratch maps) and matches the
+    f32 two-block reference to cosine >= 0.999."""
+    from heart_murmur_detection_tpu.ops.pallas_swin import fused_swin_pair
+    from heart_murmur_detection_tpu.models.htsat import _shift_attn_mask
+
+    C, heads, shift = 96, 4, 4
+    H = W = 16
+    mk = lambda s: SwinBlock(
+        dim=C, input_resolution=(H, W), num_heads=heads, window=8, shift=s,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    blkA, blkB = mk(0), mk(shift)
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.standard_normal((2, H * W, C)) * 0.5, jnp.float32)
+    vA = blkA.init(jax.random.PRNGKey(0), x)
+    vB = blkB.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(blkB.apply(vB, blkA.apply(vA, x)))
+
+    def bias_of(v):
+        p = v["params"]
+        t = np.asarray(p["attn"]["relative_position_bias_table"])
+        ri = _relative_position_index(8, 8).reshape(-1)
+        return jnp.asarray(t[ri].reshape(64, 64, heads).transpose(2, 0, 1))
+
+    mask = jnp.asarray(_shift_attn_mask(H, W, 8, shift))
+    out = fused_swin_pair(
+        x.reshape(2, H, W, C).astype(jnp.bfloat16),
+        vA["params"], vB["params"], bias_of(vA), bias_of(vB), mask,
+        num_heads=heads, shift=shift, interpret=True, mm_dtype=jnp.bfloat16,
+    )
+    assert out.dtype == jnp.bfloat16
+    got = np.asarray(out, np.float32).reshape(2, H * W, C)
+    cos = np.sum(got * want, -1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+
 def test_extractor_fused_default_off_on_cpu():
     """use_fused_htsat=None resolves to False on CPU (pallas interpret would
     be slow) — the exact XLA path stays the test/CPU default."""
