@@ -277,7 +277,7 @@ def _cubic_weight(d: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
 
 
 def resize_bicubic_time(
-    x: jnp.ndarray, src_len: jnp.ndarray, out_len: int
+    x: jnp.ndarray, src_len: jnp.ndarray, out_len: int, compute_dtype=None
 ) -> jnp.ndarray:
     """Bicubic align_corners=True resize along axis 1, per-example source length.
 
@@ -285,20 +285,44 @@ def resize_bicubic_time(
     Equivalent to torch F.interpolate(mode='bicubic', align_corners=True) on the
     first src_len rows (htsat.py:838-839), but batched with dynamic lengths so
     one compiled graph serves every clip length. Identity when src_len==out_len.
+
+    TPU-first formulation: instead of a 4-tap gather (TPU gathers are slow —
+    measured 1.9 ms of the B=64 extraction graph), build the banded cubic
+    weight matrix W (B, out, Tmax) with pure elementwise iota arithmetic and
+    contract it against x on the MXU. Border-replication of the clipped taps
+    becomes two analytic edge-column corrections: the k=-1 tap folds into
+    s=0 when floor(pos)==0, the k=+2 tap into s=src-1 when floor(pos)==src-2
+    (all other clipped taps carry zero cubic weight).
     """
     B, Tmax, F = x.shape
+    srcf = src_len.astype(jnp.float32)  # (B,)
     j = jnp.arange(out_len, dtype=jnp.float32)[None, :]  # (1, out)
-    scale = (src_len.astype(jnp.float32) - 1.0) / (out_len - 1.0)  # (B,)
+    scale = (srcf - 1.0) / (out_len - 1.0)  # (B,)
     pos = j * scale[:, None]  # (B, out)
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    idx = i0[:, :, None] + jnp.arange(-1, 3)[None, None, :]  # (B, out, 4)
-    d = pos[:, :, None] - idx.astype(jnp.float32)
-    w = _cubic_weight(d)  # (B, out, 4)
-    idx = jnp.clip(idx, 0, jnp.maximum(src_len[:, None, None] - 1, 0))
-    gathered = jnp.take_along_axis(
-        x[:, :, None, :], idx[:, :, :, None].clip(0, Tmax - 1), axis=1
-    )  # (B, out, 4, F)
-    return jnp.einsum("botf,bot->bof", gathered, w, precision=HIGH)
+    s = jnp.arange(Tmax, dtype=jnp.float32)[None, None, :]  # (1, 1, S)
+    w = _cubic_weight(pos[:, :, None] - s)  # (B, out, S), zero for |d|>=2
+    w = jnp.where(s < srcf[:, None, None], w, 0.0)
+    i0 = jnp.floor(pos)  # (B, out)
+    corr_low = jnp.where(i0 == 0.0, _cubic_weight(pos + 1.0), 0.0)
+    w = w + (s == 0.0) * corr_low[:, :, None]
+    corr_high = jnp.where(
+        i0 == srcf[:, None] - 2.0, _cubic_weight(pos - srcf[:, None]), 0.0
+    )
+    w = w + (s == srcf[:, None, None] - 1.0) * corr_high[:, :, None]
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        # bf16 weight matrix + single-pass matmul for the bf16 extraction
+        # path: ~4e-3 relative weight rounding, the same precision class as
+        # the bf16 casts the fused encoder applies to this tensor anyway.
+        return jax.lax.dot_general(
+            w.astype(compute_dtype), x.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+    return jax.lax.dot_general(
+        w, x,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=HIGH,
+    )
 
 
 def resize_bicubic_static(x: jnp.ndarray, out_len: int) -> jnp.ndarray:

@@ -105,35 +105,48 @@ def htsat_apply_fused(
         stats["bn0"]["var"] + 1e-5
     ) * bn["scale"] + bn["bias"]
 
+    # bf16 activation flow: from the bicubic resize on, x lives in bf16
+    # (preamble conv, kernel maps, HBM hand-offs, downsample) — halves
+    # bandwidth and VMEM footprint, with f32 islands for LN stats / softmax
+    # / gelu. The jnp fallback stages (C=768) compute in f32 as before.
+    # act_dtype=None follows mm_dtype (bf16 matmuls -> bf16 storage).
+    if act_dtype is None:
+        act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
+    bf16_flow = act_dtype == jnp.bfloat16
+
     target_T = cfg.spec_size * cfg.freq_ratio
     if n_frames is None:
         n_frames = jnp.full((B,), T, dtype=jnp.int32)
     if T < target_T:
         x = jnp.pad(x, ((0, 0), (0, target_T - T), (0, 0)))
-    x = resize_bicubic_time(x, n_frames, target_T)
+    x = resize_bicubic_time(
+        x, n_frames, target_T,
+        compute_dtype=act_dtype if bf16_flow else None,
+    )
     x = x.reshape(B, cfg.freq_ratio, cfg.spec_size, F)
     x = x.transpose(0, 1, 3, 2).reshape(B, cfg.freq_ratio * F, cfg.spec_size)
     x = x[..., None]
 
     pe = params["patch_embed"]
-    x = jax.lax.conv_general_dilated(
-        x, pe["proj"]["kernel"],
-        window_strides=cfg.patch_stride,
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=HI,
-    ) + pe["proj"]["bias"]
+    if bf16_flow:
+        # bf16 in / f32 MXU accumulation / bf16 out (tiny K=16 contraction)
+        x = jax.lax.conv_general_dilated(
+            x, pe["proj"]["kernel"].astype(act_dtype),
+            window_strides=cfg.patch_stride,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=act_dtype,
+        ) + pe["proj"]["bias"].astype(act_dtype)
+    else:
+        x = jax.lax.conv_general_dilated(
+            x, pe["proj"]["kernel"],
+            window_strides=cfg.patch_stride,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=HI,
+        ) + pe["proj"]["bias"]
     B_, Hp, Wp, D = x.shape
-    x = _ln(x.reshape(B, Hp * Wp, D), pe["norm"])
-
-    # bf16 activation flow: between fused blocks x lives in bf16 (kernel maps,
-    # HBM hand-offs, downsample) — halves bandwidth and VMEM footprint, with
-    # f32 islands for LN stats / softmax / gelu inside the kernel. The jnp
-    # fallback stages (C=768) compute in f32 as before. act_dtype=None
-    # follows mm_dtype (bf16 matmuls -> bf16 activation storage).
-    if act_dtype is None:
-        act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
-    x = x.astype(act_dtype)
+    x = _ln(x.reshape(B, Hp * Wp, D), pe["norm"]).astype(act_dtype)
 
     res = (Hp, Wp)
     for i_layer, depth in enumerate(cfg.depths):

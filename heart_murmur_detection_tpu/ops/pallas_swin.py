@@ -110,12 +110,48 @@ def _strip_block(
         [qkv[:, :, off + hh * hdp : off + hh * hdp + hdp] for hh in range(heads)], 0
     )  # (heads*nw, N, hdp), head-major
     qs, ks, vs = hcat(0), hcat(Cp), hcat(2 * Cp)
+    # Window-pair lane packing: with N = 64 the score matrices fill only half
+    # of the 128-wide lanes. Packing two consecutive windows per attention
+    # instance makes scores (heads*nw/2, 128, 128) — full lanes for the
+    # bias/mask adds and softmax, half the op count — at 2x the (tiny) qk/av
+    # matmul flops. Cross-window logits get -1e9, so exp underflows to exact
+    # zero and the numerics are bit-identical in spirit (same softmax sums).
+    pack2 = N == 64 and nw % 2 == 0
+    if pack2:
+        neg = jnp.full((heads, N, N), -1e9, jnp.float32)
+        bd = jnp.concatenate(
+            [
+                jnp.concatenate([bias, neg], axis=2),
+                jnp.concatenate([neg, bias], axis=2),
+            ],
+            axis=1,
+        )  # (heads, 2N, 2N) bias + cross-window kill in one add
+        qs = qs.reshape(heads * nw // 2, 2 * N, hdp)
+        ks = ks.reshape(heads * nw // 2, 2 * N, hdp)
+        vs = vs.reshape(heads * nw // 2, 2 * N, hdp)
+        bias_add = jnp.repeat(bd, nw // 2, axis=0)
+        if mask is not None:
+            # (nw, N, N) -> per-pair block-diagonal (nw/2, 2N, 2N). Strided
+            # batch slicing (mask[0::2]) lowers as an unsupported gather in
+            # Mosaic; reshape + plain slices instead.
+            mp = mask.reshape(nw // 2, 2, N, N)
+            m0, m1 = mp[:, 0], mp[:, 1]
+            z = jnp.zeros_like(m0)
+            mask = jnp.concatenate(
+                [
+                    jnp.concatenate([m0, z], axis=2),
+                    jnp.concatenate([z, m1], axis=2),
+                ],
+                axis=1,
+            )  # pair order matches the qs reshape
+    else:
+        bias_add = jnp.repeat(bias, nw, axis=0)
     a = jax.lax.dot_general(
         mm(qs * (hd ** -0.5)), mm(ks),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
-    )  # (heads*nw, N, N); padded tail dims are exact zeros -> no logit change
-    a = a + jnp.repeat(bias, nw, axis=0)
+    )  # (heads*nw[/2], N[*2], N[*2]); padded tail dims are exact zeros
+    a = a + bias_add
     if mask is not None:
         a = a + jnp.tile(mask, (heads, 1, 1))
     if fast_softmax:
@@ -130,7 +166,9 @@ def _strip_block(
         mm(a), mm(vs),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
-    ).astype(act_dtype)  # (heads*nw, N, hdp)
+    ).astype(act_dtype)
+    if pack2:
+        ost = ost.reshape(heads * nw, N, hdp)
     o = jnp.concatenate(
         [ost[hh * nw : (hh + 1) * nw] for hh in range(heads)], axis=-1
     ).reshape(nw * N, Cp)
