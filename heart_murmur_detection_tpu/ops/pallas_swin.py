@@ -67,6 +67,7 @@ def _strip_block(
     ln1_s, ln1_b, ln2_s, ln2_b,
     w_fc1, b_fc1, w_fc2, b_fc2,
     *, win: int, heads: int, hdp: int, mm_dtype, fast_softmax: bool = False,
+    pack2=None,
 ):
     """One swin block on a spatial tile x (bb, win, cw, C) of whole windows.
 
@@ -116,7 +117,13 @@ def _strip_block(
     # bias/mask adds and softmax, half the op count — at 2x the (tiny) qk/av
     # matmul flops. Cross-window logits get -1e9, so exp underflows to exact
     # zero and the numerics are bit-identical in spirit (same softmax sums).
-    pack2 = N == 64 and nw % 2 == 0
+    # Auto policy (measured, bench note in RESULTS.md): a 1.53x win at the
+    # many-window lane-starved stage-0 geometry (C=96), a ~3-6% LOSS at
+    # C>=192 where the instance batch is already small — so None enables it
+    # only for C < 128.
+    if pack2 is None:
+        pack2 = C < 128
+    pack2 = pack2 and N == 64 and nw % 2 == 0
     if pack2:
         neg = jnp.full((heads, N, N), -1e9, jnp.float32)
         bd = jnp.concatenate(
@@ -204,7 +211,7 @@ def _kernel(
     w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
     *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
-    hdp: int, mm_dtype, roll_w: int, fast_softmax: bool = False,
+    hdp: int, mm_dtype, roll_w: int, fast_softmax: bool = False, pack2=None,
 ):
     x = x_ref[:]  # (bb, win, win*tw, C)
     if roll_w:
@@ -220,7 +227,7 @@ def _kernel(
         ln1_s[0], ln1_b[0], ln2_s[0], ln2_b[0],
         w_fc1[:], b_fc1[0], w_fc2[:], b_fc2[0],
         win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
-        fast_softmax=fast_softmax,
+        fast_softmax=fast_softmax, pack2=pack2,
     )
     if roll_w:
         out = jnp.concatenate([out[:, :, -roll_w:], out[:, :, :-roll_w]], axis=2)
@@ -281,6 +288,7 @@ def fused_swin_block(
     mm_dtype=jnp.float32,
     roll_w: int = 0,
     fast_softmax: bool = False,
+    pack2=None,
 ) -> jnp.ndarray:
     """One swin block on spatial input x (B, H, W, C).
 
@@ -350,6 +358,7 @@ def fused_swin_block(
         functools.partial(
             _kernel, bb=bb, tw=tw, win=win, heads=num_heads, use_mask=use_mask,
             hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w, fast_softmax=fast_softmax,
+            pack2=pack2,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid=grid,
@@ -423,14 +432,14 @@ def _pair_kernel(
     b_f1, b_bf1, b_f2, b_bf2,
     out_ref, scr,
     *, bb: int, win: int, heads: int, hdp: int, mm_dtype, shift: int, cw: int,
-    fast_softmax: bool = False,
+    fast_softmax: bool = False, pack2=None,
 ):
     H, W = x_ref.shape[1], x_ref.shape[2]
     nwh = H // win
     twc = cw // win
     nj = W // cw
     kw = dict(win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
-              fast_softmax=fast_softmax)
+              fast_softmax=fast_softmax, pack2=pack2)
     wA = (a_qkv[:], a_bqkv[0], a_proj[:], a_bproj[0], a_l1s[0], a_l1b[0],
           a_l2s[0], a_l2b[0], a_f1[:], a_bf1[0], a_f2[:], a_bf2[0])
     wB = (b_qkv[:], b_bqkv[0], b_proj[:], b_bproj[0], b_l1s[0], b_l1b[0],
@@ -506,6 +515,7 @@ def fused_swin_pair(
     pad_head_dim: bool = True,
     mm_dtype=jnp.float32,
     fast_softmax: bool = False,
+    pack2=None,
 ) -> jnp.ndarray:
     """(regular block a, shifted block b) on spatial x (B, H, W, C), fused.
 
@@ -544,6 +554,7 @@ def fused_swin_pair(
         functools.partial(
             _pair_kernel, bb=bb, win=win, heads=num_heads, hdp=hdp,
             mm_dtype=mm_dtype, shift=shift, cw=cw, fast_softmax=fast_softmax,
+            pack2=pack2,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
         grid=(B // bb,),
