@@ -171,6 +171,25 @@ class FeatureExtractor:
         __init__ — closure constants bloat the serialized HLO)."""
         model = self.model
 
+        if self.is_mae or self.is_audiomae:
+            # bf16 ViT blocks for the TPU extraction path (ViTBlock
+            # compute_dtype: bf16 matmuls/einsums, f32 softmax + residuals) —
+            # same precision class as the fused HTS-AT path, and the logits
+            # tensors (the MAE encoders' HBM bottleneck) halve. CPU keeps
+            # the exact f32 path (same policy as use_fused_htsat=None).
+            if (
+                self.compute_dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+            ):
+                import dataclasses as _dc
+
+                model = model.clone(
+                    config=_dc.replace(
+                        model.config, compute_dtype=self.compute_dtype
+                    )
+                )
+                self.model = model
+
         if self.is_audiomae:
 
             prec = (

@@ -78,15 +78,25 @@ class ViTBlock(nn.Module):
     # (flash on TPU for N >= 256 — at ViT-S/B sequence lengths the XLA
     # logits are the HBM bottleneck; below that the kernel setup dominates).
     attn_impl: str = "xla"
+    # None = exact f32. jnp.bfloat16 computes the Dense layers and attention
+    # einsums in bf16 with f32 accumulation/softmax and f32 residual carries
+    # + LayerNorms — the extraction-path precision class (same as the fused
+    # HTS-AT kernels; see PARITY.md item 5).
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        cd = self.compute_dtype
         h = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
         B, N, C = h.shape
         nh, hd = self.num_heads, C // self.num_heads
-        qkv = nn.Dense(3 * C, name="attn_qkv")(h)
-        qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        qkv = nn.Dense(3 * C, name="attn_qkv", dtype=cd)(h)
+        # transpose-free head split: lane slices + reshape instead of the 5-D
+        # (B,N,3,H,hd)->(3,B,H,N,hd) transpose (measured faster at ViT-S
+        # geometry; same weights/columns so numerics are unchanged)
+        q = qkv[..., 0 * C : 1 * C].reshape(B, N, nh, hd)
+        k = qkv[..., 1 * C : 2 * C].reshape(B, N, nh, hd)
+        v = qkv[..., 2 * C : 3 * C].reshape(B, N, nh, hd)
         impl = self.attn_impl
         if impl == "auto":
             # only pick flash when tracing for an actual TPU placement: the
@@ -101,24 +111,30 @@ class ViTBlock(nn.Module):
         if impl == "flash":
             from ..ops.flash_vit import flash_vit_attention
 
-            h = flash_vit_attention(q, k, v, sm_scale=hd**-0.5)
+            h = flash_vit_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), sm_scale=hd**-0.5,
+            )
             h = h.transpose(0, 2, 1, 3).reshape(B, N, C)
         else:
-            attn = jax.nn.softmax(
-                jnp.einsum("bhnd,bhmd->bhnm", q * hd**-0.5, k), axis=-1
+            s = jnp.einsum(
+                "bnhd,bmhd->bhnm", q * hd**-0.5, k,
+                preferred_element_type=jnp.float32,
             )
-            h = (
-                jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-                .transpose(0, 2, 1, 3)
-                .reshape(B, N, C)
-            )
-        h = nn.Dense(C, name="attn_proj")(h)
+            attn = jax.nn.softmax(s, axis=-1)
+            if cd is not None:
+                attn = attn.astype(cd)
+            h = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, N, C)
+        h = nn.Dense(C, name="attn_proj", dtype=cd)(h)
         x = x + h
         h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
-        h = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.Dense(int(C * self.mlp_ratio), name="mlp_fc1", dtype=cd)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(C, name="mlp_fc2")(h)
-        return x + h
+        h = nn.Dense(C, name="mlp_fc2", dtype=cd)(h)
+        return x + h.astype(x.dtype)
 
 
 class SwinV2CRAttention(nn.Module):
@@ -269,6 +285,9 @@ class MAEConfig:
     # masking, has a custom VJP), or "auto" (flash on TPU placements at
     # N>=256)
     attn_impl: str = "xla"
+    # encoder ViTBlock compute dtype: None = exact f32; jnp.bfloat16 is the
+    # TPU extraction-path class (f32 softmax/accum/residuals, see ViTBlock)
+    compute_dtype: Optional[object] = None
 
     @property
     def grid(self) -> Tuple[int, int]:
@@ -329,7 +348,8 @@ class MaskedAutoencoderViT(nn.Module):
         )[None]
         self.blocks = [
             ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                     attn_impl=cfg.attn_impl, name=f"blocks_{i}")
+                     attn_impl=cfg.attn_impl, compute_dtype=cfg.compute_dtype,
+                     name=f"blocks_{i}")
             for i in range(cfg.depth)
         ]
         self.norm = nn.LayerNorm(epsilon=1e-6, name="norm")
@@ -474,6 +494,7 @@ class AudioMAEClassifierBackbone(nn.Module):
         h = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)), h], axis=1)
         for i in range(cfg.depth):
             h = ViTBlock(cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio,
-                         attn_impl=cfg.attn_impl, name=f"blocks_{i}")(h)
+                         attn_impl=cfg.attn_impl, compute_dtype=cfg.compute_dtype,
+                         name=f"blocks_{i}")(h)
         h = h[:, 1:].mean(axis=1)
         return nn.LayerNorm(epsilon=1e-6, name="fc_norm")(h)
