@@ -33,6 +33,16 @@ def main(argv=None):
         if not data_source:
             raise SystemExit("no corpora enabled (set e.g. circor=True)")
         if method == "cola":
+            htsat_config = None
+            if str(cfg.get("compute_dtype", "float32")) in ("bfloat16", "bf16"):
+                # mixed-precision CP: bf16 Dense/Conv inside the HTS-AT
+                # encoder, f32 LayerNorms/softmax/residual carries and f32
+                # params/optimizer (HTSATConfig.compute_dtype)
+                import jax.numpy as jnp
+
+                from ..models.htsat import HTSATConfig
+
+                htsat_config = HTSATConfig(compute_dtype=jnp.bfloat16)
             train_multiple_data(
                 cfg["title"],
                 data_source=data_source,
@@ -43,6 +53,7 @@ def main(argv=None):
                 pretrain=cfg.get("pretrain"),
                 freeze_encoder=cfg.get("freeze_encoder", "none"),
                 seed=cfg.get("seed", 42),
+                htsat_config=htsat_config,
             )
         else:
             mae_train_multiple_data(

@@ -51,6 +51,12 @@ class HTSATConfig:
     drop_path_rate: float = 0.1
     mel_bins: int = 64
     enable_tscam: bool = True
+    # mixed-precision training/inference: None = exact f32; jnp.bfloat16
+    # computes Dense/Conv in bf16 with f32 LayerNorms, softmax and
+    # residual carries (the standard TPU training recipe; XLA's f32
+    # matmul default is already one bf16 MXU pass, so the win is halved
+    # activation storage for fwd+bwd, not matmul passes)
+    compute_dtype: Optional[object] = None
 
     @property
     def freq_ratio(self) -> int:
@@ -114,13 +120,14 @@ class WindowAttention(nn.Module):
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray], deterministic: bool = True):
         Bn, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv", dtype=self.dtype)(x)
         qkv = qkv.reshape(Bn, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
@@ -132,16 +139,23 @@ class WindowAttention(nn.Module):
         rel_idx = _relative_position_index(self.window, self.window).reshape(-1)
         bias = bias_table[rel_idx].reshape(N, N, nh).transpose(2, 0, 1)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * (hd**-0.5), k) + bias[None]
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * (hd**-0.5), k,
+            preferred_element_type=jnp.float32,
+        ) + bias[None]
         if mask is not None:
             nW = mask.shape[0]
             attn = attn.reshape(Bn // nW, nW, nh, N, N) + mask[None, :, None]
             attn = attn.reshape(Bn, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1)  # f32 logits even under bf16
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+        )
         out = out.transpose(0, 2, 1, 3).reshape(Bn, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, name="proj", dtype=self.dtype)(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
 
@@ -149,13 +163,14 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     drop: float = 0.0
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, name="fc1", dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, name="fc2", dtype=self.dtype)(x)
         return nn.Dropout(self.drop)(x, deterministic=deterministic)
 
 
@@ -184,6 +199,7 @@ class SwinBlock(nn.Module):
     drop: float
     attn_drop: float
     drop_path: float
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -194,7 +210,7 @@ class SwinBlock(nn.Module):
 
         B, L, C = x.shape
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).reshape(B, H, W, C)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
         xw = window_partition(x, window)
@@ -203,7 +219,7 @@ class SwinBlock(nn.Module):
         )
         xw = WindowAttention(
             C, window, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-            name="attn",
+            dtype=self.dtype, name="attn",
         )(xw, mask, deterministic)
         x = window_reverse(xw, window, H, W)
         if shift > 0:
@@ -211,16 +227,17 @@ class SwinBlock(nn.Module):
         x = x.reshape(B, L, C)
 
         dp = DropPath(self.drop_path)
-        x = shortcut + dp(x, deterministic)
-        y = Mlp(int(C * self.mlp_ratio), C, self.drop, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), deterministic
+        x = shortcut + dp(x.astype(shortcut.dtype), deterministic)
+        y = Mlp(int(C * self.mlp_ratio), C, self.drop, dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x), deterministic
         )
-        return x + dp(y, deterministic)
+        return x + dp(y.astype(x.dtype), deterministic)
 
 
 class PatchMerging(nn.Module):
     input_resolution: Tuple[int, int]
     dim: int
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
@@ -231,14 +248,17 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         ).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(2 * C, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
+        x = nn.Dense(2 * C, use_bias=False, name="reduction", dtype=self.dtype)(x)
+        # residual carry between blocks stays f32 under bf16 compute
+        return x if self.dtype is None else x.astype(jnp.float32)
 
 
 class PatchEmbed(nn.Module):
     embed_dim: int
     patch_size: int
     patch_stride: Tuple[int, int]
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x):
@@ -251,10 +271,11 @@ class PatchEmbed(nn.Module):
             strides=(sh, sw),
             padding=((pad[0], pad[0]), (pad[1], pad[1])),
             name="proj",
+            dtype=self.dtype,
         )(x)
         B, Hp, Wp, C = x.shape
         x = x.reshape(B, Hp * Wp, C)
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x), (Hp, Wp)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x), (Hp, Wp)
 
 
 def htsat_forward_long(
@@ -320,7 +341,8 @@ class HTSAT(nn.Module):
         x = x[..., None]  # (B, 256, 256, 1) NHWC
 
         x, (Hp, Wp) = PatchEmbed(
-            cfg.embed_dim, cfg.patch_size, cfg.patch_stride, name="patch_embed"
+            cfg.embed_dim, cfg.patch_size, cfg.patch_stride,
+            dtype=cfg.compute_dtype, name="patch_embed"
         )(x)
         x = nn.Dropout(cfg.drop_rate)(x, deterministic=deterministic)
 
@@ -340,13 +362,17 @@ class HTSAT(nn.Module):
                     drop=cfg.drop_rate,
                     attn_drop=cfg.attn_drop_rate,
                     drop_path=float(dpr[sum(cfg.depths[:i_layer]) + b]),
+                    dtype=cfg.compute_dtype,
                     name=f"layers_{i_layer}_blocks_{b}",
                 )(x, deterministic)
             if i_layer < len(cfg.depths) - 1:
-                x = PatchMerging(res, dim, name=f"layers_{i_layer}_downsample")(x)
+                x = PatchMerging(
+                    res, dim, dtype=cfg.compute_dtype,
+                    name=f"layers_{i_layer}_downsample",
+                )(x)
                 res = (res[0] // 2, res[1] // 2)
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)  # (B, 64, 768)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)  # (B, 64, 768)
         latent = x.mean(axis=1)  # == avgpool over the folded SFxST map
 
         out = {"latent_output": latent}
