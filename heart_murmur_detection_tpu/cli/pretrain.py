@@ -32,17 +32,14 @@ def main(argv=None):
         data_source = {dt: ml for dt, ml in max_lens.items() if cfg.get(dt) is True}
         if not data_source:
             raise SystemExit("no corpora enabled (set e.g. circor=True)")
+        # mixed-precision CP (compute_dtype=bfloat16): bf16 encoder compute
+        # with f32 norms/softmax/residual carries and f32 params/optimizer
+        compute_dtype = None
+        if str(cfg.get("compute_dtype", "float32")) in ("bfloat16", "bf16"):
+            import jax.numpy as jnp
+
+            compute_dtype = jnp.bfloat16
         if method == "cola":
-            htsat_config = None
-            if str(cfg.get("compute_dtype", "float32")) in ("bfloat16", "bf16"):
-                # mixed-precision CP: bf16 Dense/Conv inside the HTS-AT
-                # encoder, f32 LayerNorms/softmax/residual carries and f32
-                # params/optimizer (HTSATConfig.compute_dtype)
-                import jax.numpy as jnp
-
-                from ..models.htsat import HTSATConfig
-
-                htsat_config = HTSATConfig(compute_dtype=jnp.bfloat16)
             train_multiple_data(
                 cfg["title"],
                 data_source=data_source,
@@ -53,7 +50,7 @@ def main(argv=None):
                 pretrain=cfg.get("pretrain"),
                 freeze_encoder=cfg.get("freeze_encoder", "none"),
                 seed=cfg.get("seed", 42),
-                htsat_config=htsat_config,
+                compute_dtype=compute_dtype,
             )
         else:
             mae_train_multiple_data(
@@ -63,6 +60,7 @@ def main(argv=None):
                 training_method=method,
                 pretrain=cfg.get("pretrain"),
                 seed=cfg.get("seed", 42),
+                compute_dtype=compute_dtype,
             )
 
 

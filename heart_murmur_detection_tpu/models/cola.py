@@ -29,6 +29,10 @@ class ColaConfig:
     dim_fea: int = 1280
     dim_hidden: int = 1280
     dim_out: int = 512
+    # mixed-precision encoder compute for the efficientnet encoder (bf16
+    # convs, f32 BatchNorms); for the htsat encoder pass
+    # HTSATConfig(compute_dtype=...) instead. None = exact f32.
+    compute_dtype: object = None
 
     def resolved(self) -> "ColaConfig":
         if self.encoder == "htsat":
@@ -60,7 +64,9 @@ class Cola(nn.Module):
             self.encoder = HTSAT(self.htsat, name="encoder")
         elif cfg.encoder == "efficientnet":
             self.encoder = ColaEfficientNetEncoder(
-                drop_connect_rate=self.config.p, name="encoder"
+                drop_connect_rate=self.config.p,
+                dtype=self.config.compute_dtype,
+                name="encoder",
             )
         else:
             raise ValueError(cfg.encoder)

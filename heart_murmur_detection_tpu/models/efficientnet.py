@@ -50,12 +50,17 @@ def _round_repeats(r: int, cfg: EfficientNetConfig) -> int:
 
 
 class _BN(nn.Module):
+    # under mixed precision BN is an f32 island: stats and normalization in
+    # f32 regardless of (bf16) conv outputs feeding it
+    force_f32: bool = False
+
     @nn.compact
     def __call__(self, x, use_running_average=True):
         return nn.BatchNorm(
             use_running_average=use_running_average,
             momentum=0.99,
             epsilon=1e-3,
+            dtype=jnp.float32 if self.force_f32 else None,
         )(x)
 
 
@@ -67,15 +72,18 @@ class MBConv(nn.Module):
     expand: int
     se_ratio: float
     drop_connect: float
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         ura = not train
         inp = x
+        dt = self.dtype
+        f32bn = dt is not None
         c = self.in_ch * self.expand
         if self.expand != 1:
-            x = nn.Conv(c, (1, 1), use_bias=False, name="_expand_conv")(x)
-            x = _BN(name="_bn0")(x, ura)
+            x = nn.Conv(c, (1, 1), use_bias=False, dtype=dt, name="_expand_conv")(x)
+            x = _BN(force_f32=f32bn, name="_bn0")(x, ura)
             x = nn.silu(x)
         x = nn.Conv(
             c,
@@ -84,21 +92,22 @@ class MBConv(nn.Module):
             feature_group_count=c,
             padding="SAME",
             use_bias=False,
+            dtype=dt,
             name="_depthwise_conv",
         )(x)
-        x = _BN(name="_bn1")(x, ura)
+        x = _BN(force_f32=f32bn, name="_bn1")(x, ura)
         x = nn.silu(x)
 
         if 0 < self.se_ratio <= 1:
             se_ch = max(1, int(self.in_ch * self.se_ratio))
             s = x.mean(axis=(1, 2), keepdims=True)
-            s = nn.Conv(se_ch, (1, 1), name="_se_reduce")(s)
+            s = nn.Conv(se_ch, (1, 1), dtype=dt, name="_se_reduce")(s)
             s = nn.silu(s)
-            s = nn.Conv(c, (1, 1), name="_se_expand")(s)
-            x = x * nn.sigmoid(s)
+            s = nn.Conv(c, (1, 1), dtype=dt, name="_se_expand")(s)
+            x = x * nn.sigmoid(s.astype(x.dtype))
 
-        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="_project_conv")(x)
-        x = _BN(name="_bn2")(x, ura)
+        x = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=dt, name="_project_conv")(x)
+        x = _BN(force_f32=f32bn, name="_bn2")(x, ura)
 
         if self.stride == 1 and self.in_ch == self.out_ch:
             if train and self.drop_connect > 0:
@@ -120,6 +129,7 @@ class EfficientNet(nn.Module):
     config: EfficientNetConfig = EfficientNetConfig()
     drop_connect_rate: float = 0.2
     return_map: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,9 +141,10 @@ class EfficientNet(nn.Module):
             strides=(2, 2),
             padding="SAME",
             use_bias=False,
+            dtype=self.dtype,
             name="_conv_stem",
         )(x)
-        x = _BN(name="_bn0")(x, ura)
+        x = _BN(force_f32=self.dtype is not None, name="_bn0")(x, ura)
         x = nn.silu(x)
 
         total = sum(_round_repeats(r, cfg) for r, *_ in _B0_BLOCKS)
@@ -149,12 +160,16 @@ class EfficientNet(nn.Module):
                     expand=e,
                     se_ratio=se,
                     drop_connect=self.drop_connect_rate * idx / total,
+                    dtype=self.dtype,
                     name=f"_blocks_{idx}",
                 )(x, train)
                 idx += 1
 
-        x = nn.Conv(_round_filters(1280, cfg), (1, 1), use_bias=False, name="_conv_head")(x)
-        x = _BN(name="_bn1")(x, ura)
+        x = nn.Conv(
+            _round_filters(1280, cfg), (1, 1), use_bias=False, dtype=self.dtype,
+            name="_conv_head",
+        )(x)
+        x = _BN(force_f32=self.dtype is not None, name="_bn1")(x, ura)
         x = nn.silu(x)
         if self.return_map:
             return x
@@ -166,14 +181,16 @@ class ColaEfficientNetEncoder(nn.Module):
     (models_cola.py:42-59). Input mel (B, T, F) -> (B, 1280)."""
 
     drop_connect_rate: float = 0.1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, n_frames=None, train: bool = False):
         x = mel[..., None]  # (B, T, F, 1)
-        x = nn.Conv(3, (3, 3), padding="VALID", name="cnn1")(x)
+        x = nn.Conv(3, (3, 3), padding="VALID", dtype=self.dtype, name="cnn1")(x)
         fmap = EfficientNet(
             drop_connect_rate=self.drop_connect_rate,
             return_map=n_frames is not None,
+            dtype=self.dtype,
             name="efficientnet",
         )(x, train)
         if n_frames is None:

@@ -57,10 +57,23 @@ def train_multiple_data(
     verbose: bool = True,
     htsat_config=None,
     resume: bool = False,
+    compute_dtype=None,
 ):
+    # compute_dtype=jnp.bfloat16 -> mixed-precision encoder compute (bf16
+    # matmuls/convs, f32 norms/softmax/residual carries; f32 params +
+    # optimizer). Wired per-encoder: HTSATConfig.compute_dtype for htsat,
+    # ColaConfig.compute_dtype (ColaEfficientNetEncoder) for efficientnet.
+    if compute_dtype is not None and encoder == "htsat" and htsat_config is None:
+        from ..models.htsat import HTSATConfig
+
+        htsat_config = HTSATConfig(compute_dtype=compute_dtype)
     kw = {} if htsat_config is None else {"htsat": htsat_config}
     model = Cola(
-        ColaConfig(encoder=encoder, dim_fea=dim_fea, dim_hidden=dim_hidden, dim_out=dim_out),
+        ColaConfig(
+            encoder=encoder, dim_fea=dim_fea, dim_hidden=dim_hidden,
+            dim_out=dim_out,
+            compute_dtype=compute_dtype if encoder == "efficientnet" else None,
+        ),
         **kw,
     )
     rng = jax.random.PRNGKey(seed)

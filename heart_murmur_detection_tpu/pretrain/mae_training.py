@@ -43,6 +43,7 @@ def mae_train_multiple_data(
     verbose: bool = True,
     config_override=None,
     resume: bool = False,
+    compute_dtype=None,
 ):
     if config_override is not None:
         cfg = config_override
@@ -50,6 +51,13 @@ def mae_train_multiple_data(
         cfg = audiomae_base_config(mask_ratio=0.7)
     else:
         cfg = mae_vit_small_config(mask_ratio=0.7)
+    if compute_dtype is not None:
+        # mixed-precision MAE CP: bf16 encoder ViT blocks (f32 softmax /
+        # residuals / LayerNorms, see models.vit_mae.ViTBlock); the swin
+        # decoder stays f32. Params/grads/optimizer stay f32.
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
     model = MaskedAutoencoderViT(cfg)
     rng = jax.random.PRNGKey(seed)
     variables = model.init(

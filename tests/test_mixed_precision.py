@@ -56,6 +56,33 @@ def test_bf16_compute_close_to_f32_and_f32_grads():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_efficientnet_bf16_compute_close():
+    """ColaEfficientNetEncoder dtype=bf16 (bf16 convs, f32 BatchNorms) stays
+    within quantization distance of f32 and keeps f32 grads."""
+    from heart_murmur_detection_tpu.models.efficientnet import (
+        ColaEfficientNetEncoder,
+    )
+
+    r = np.random.default_rng(2)
+    mel = jnp.asarray(r.random((2, 64, 64)), jnp.float32)
+    m32 = ColaEfficientNetEncoder()
+    v = m32.init(jax.random.PRNGKey(0), mel)
+    o32 = np.asarray(m32.apply(v, mel), np.float32)
+    m16 = ColaEfficientNetEncoder(dtype=jnp.bfloat16)
+    o16 = np.asarray(m16.apply(v, mel), np.float32)
+    cos = np.sum(o32 * o16, -1) / (
+        np.linalg.norm(o32, axis=-1) * np.linalg.norm(o16, axis=-1)
+    )
+    assert cos.min() > 0.999
+
+    def loss(p):
+        out = m16.apply({"params": p, "batch_stats": v["batch_stats"]}, mel)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(g))
+
+
 def test_f32_default_unchanged():
     """compute_dtype=None is the exact pre-existing f32 path (bit-level)."""
     r = np.random.default_rng(1)
