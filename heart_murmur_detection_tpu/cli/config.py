@@ -85,3 +85,16 @@ def resolve(name: str, argv: List[str], config_dir: Optional[str] = None) -> Ite
         # yaml parses a bare `None` as the string "None"; normalize (the
         # reference also string-compares 'None', circor_processing.py:303-308)
         yield {k: (None if v == "None" else v) for k, v in cfg.items()}
+
+
+def parse_compute_dtype(cfg: Dict[str, Any]):
+    """cfg["compute_dtype"] -> jnp dtype or None (mixed-precision knob).
+
+    "bfloat16"/"bf16" -> jnp.bfloat16; anything else (or absent) -> None
+    (exact f32). Shared by the pretrain and finetune CLIs.
+    """
+    if str(cfg.get("compute_dtype", "float32")) in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16
+    return None

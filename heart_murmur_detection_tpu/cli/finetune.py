@@ -7,7 +7,7 @@ import sys
 import numpy as np
 
 from ..train.finetune import finetune_heart
-from .config import resolve
+from .config import parse_compute_dtype, resolve
 from .linear_eval import route_heart_task
 
 
@@ -31,6 +31,9 @@ def main(argv=None):
                 loss=cfg["loss"],
                 spec_augment=cfg["spec_augment"],
                 random_init=cfg.get("random_init", False),
+                # compute_dtype=bfloat16: mixed-precision encoder fine-tune
+                # (bf16 matmuls/convs, f32 norms/softmax/residual carries)
+                compute_dtype=parse_compute_dtype(cfg),
             )
             print(f"seed {seed}: test_auc {res.test_auc:.4f} (best epoch {res.best_epoch})")
             scores.append(res.test_auc)

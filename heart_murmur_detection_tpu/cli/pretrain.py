@@ -13,7 +13,7 @@ import sys
 from ..pretrain.cola_training import train_multiple_data
 from ..pretrain.data import OPTIMAL_MAX_LEN_COLA, OPTIMAL_MAX_LEN_MAE
 from ..pretrain.mae_training import mae_train_multiple_data
-from .config import resolve
+from .config import parse_compute_dtype, resolve
 
 
 def main(argv=None):
@@ -34,11 +34,7 @@ def main(argv=None):
             raise SystemExit("no corpora enabled (set e.g. circor=True)")
         # mixed-precision CP (compute_dtype=bfloat16): bf16 encoder compute
         # with f32 norms/softmax/residual carries and f32 params/optimizer
-        compute_dtype = None
-        if str(cfg.get("compute_dtype", "float32")) in ("bfloat16", "bf16"):
-            import jax.numpy as jnp
-
-            compute_dtype = jnp.bfloat16
+        compute_dtype = parse_compute_dtype(cfg)
         if method == "cola":
             train_multiple_data(
                 cfg["title"],

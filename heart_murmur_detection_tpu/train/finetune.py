@@ -61,19 +61,30 @@ class EncoderClassifier(nn.Module):
     head: str = "linear"
     feat_dim: int = 768
     htsat_config: Optional[HTSATConfig] = None
+    # mixed-precision fine-tuning: bf16 encoder compute with f32 norms /
+    # softmax / residual carries (per-encoder wiring, same recipe as CP;
+    # htsat additionally honours htsat_config.compute_dtype). None = f32.
+    compute_dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        cd = self.compute_dtype
         if self.encoder_kind == "htsat":
-            h = HTSAT(self.htsat_config or HTSATConfig(), name="encoder")(
-                x, train=train
-            )["latent_output"]
+            hc = self.htsat_config or HTSATConfig()
+            if cd is not None and hc.compute_dtype is None:
+                import dataclasses as _dc
+
+                hc = _dc.replace(hc, compute_dtype=cd)
+            h = HTSAT(hc, name="encoder")(x, train=train)["latent_output"]
         elif self.encoder_kind == "efficientnet":
-            h = ColaEfficientNetEncoder(name="encoder")(x, train=train)
+            h = ColaEfficientNetEncoder(dtype=cd, name="encoder")(x, train=train)
         elif self.encoder_kind == "audiomae":
-            h = AudioMAEClassifierBackbone(audiomae_base_config(), name="encoder")(
-                x, train=train
-            )
+            import dataclasses as _dc
+
+            h = AudioMAEClassifierBackbone(
+                _dc.replace(audiomae_base_config(), compute_dtype=cd),
+                name="encoder",
+            )(x, train=train)
         elif self.encoder_kind == "gt":
             h = GTBackbone(name="encoder")(x, train=train)
         elif self.encoder_kind in ("clap", "clap2023"):
@@ -142,6 +153,7 @@ def finetune_classifier(
     task: Optional[str] = None,
     annotations_test: Optional[np.ndarray] = None,
     htsat_config: Optional[HTSATConfig] = None,
+    compute_dtype=None,
 ) -> FTResult:
     model = EncoderClassifier(
         encoder_kind=encoder_kind,
@@ -149,6 +161,7 @@ def finetune_classifier(
         head=head,
         feat_dim=feat_dim,
         htsat_config=htsat_config,
+        compute_dtype=compute_dtype,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -398,6 +411,7 @@ def finetune_heart(
     spec_augment: bool = False,
     random_init: bool = False,
     ckpt_path: Optional[str] = None,
+    compute_dtype=None,
 ) -> FTResult:
     y_label = np.load(os.path.join(feature_dir, labels_filename))
     y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
@@ -505,6 +519,7 @@ def finetune_heart(
         dataset=dataset_name,
         task=task,
         annotations_test=ann,
+        compute_dtype=compute_dtype,
     )
     # save the best checkpoint with the reference filename convention and log
     ck_dir = (

@@ -48,6 +48,28 @@ class TestFinetuneClassifier:
         assert res.test_auc > 0.7
         assert res.best_epoch >= 0
 
+    def test_htsat_ft_mixed_precision_learns(self):
+        """compute_dtype=bf16 fine-tune trains end-to-end (bf16 encoder
+        matmuls, f32 norms/softmax/residuals) and still separates the
+        synthetic classes."""
+        import jax.numpy as jnp
+
+        x, y = synth_clf_data(48, 32, 16)
+        res = finetune_classifier(
+            x[:32], y[:32], x[32:40], y[32:40], x[40:], y[40:],
+            encoder_kind="htsat",
+            htsat_config=TINY_HTSAT,
+            n_cls=2,
+            feat_dim=128,
+            lr=1e-3,
+            epochs=4,
+            batch_size=8,
+            seed=0,
+            compute_dtype=jnp.bfloat16,
+        )
+        assert np.isfinite(res.test_auc)
+        assert res.test_auc > 0.7
+
     def test_freeze_all_keeps_encoder(self):
         x, y = synth_clf_data(24, 32, 16, seed=1)
         res = finetune_classifier(
