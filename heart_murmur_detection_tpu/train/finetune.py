@@ -86,7 +86,12 @@ class EncoderClassifier(nn.Module):
                 name="encoder",
             )(x, train=train)
         elif self.encoder_kind == "gt":
-            h = GTBackbone(name="encoder")(x, train=train)
+            import dataclasses as _dc
+
+            h = GTBackbone(
+                config=_dc.replace(mae_vit_small_config(), compute_dtype=cd),
+                name="encoder",
+            )(x, train=train)
         elif self.encoder_kind in ("clap", "clap2023"):
             # raw 44.1kHz clips (B, N); AudioClassifierCLAP (models_eval.py:851)
             from ..models.clap import CLAPAudioEncoder, CLAPConfig
