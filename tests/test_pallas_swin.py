@@ -206,6 +206,64 @@ def test_bf16_activation_flow_close():
     assert cos.min() > 0.999
 
 
+def test_pack2_override_matches_default():
+    """pack2 window-pair packing is numerically exact: forcing it ON at a
+    geometry where the auto policy leaves it off (C=384) matches flax, and
+    forcing it OFF at C=96 (auto-on) also matches — the -1e9 cross-window
+    logits underflow to exact zeros through softmax."""
+    for C, heads, pack2 in ((384, 16, True), (96, 4, False)):
+        H = 16
+        blk = SwinBlock(
+            dim=C, input_resolution=(H, H), num_heads=heads, window=8, shift=0,
+            mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+        )
+        r = np.random.default_rng(11)
+        x = jnp.asarray(r.standard_normal((2, H * H, C)) * 0.5, jnp.float32)
+        v = blk.init(jax.random.PRNGKey(0), x)
+        want = np.asarray(blk.apply(v, x))
+        p = v["params"]
+        table = np.asarray(p["attn"]["relative_position_bias_table"])
+        rel_idx = _relative_position_index(8, 8).reshape(-1)
+        bias = jnp.asarray(
+            table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1)
+        )
+        got = np.asarray(
+            fused_swin_block(
+                x.reshape(2, H, H, C), p, bias, None, num_heads=heads,
+                interpret=True, pack2=pack2,
+            )
+        ).reshape(2, H * H, C)
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_pack2_with_shifted_mask_and_fast_softmax():
+    """pack2 + shifted-window mask + fast_softmax compose: the block-diag
+    mask pairing matches flax for a shifted block (mask varies per window)."""
+    C, heads, H, shift = 96, 4, 16, 4
+    blk = SwinBlock(
+        dim=C, input_resolution=(H, H), num_heads=heads, window=8, shift=shift,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(12)
+    x = jnp.asarray(r.standard_normal((2, H * H, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    mask = jnp.asarray(_shift_attn_mask(H, H, 8, shift))
+    xs = jnp.roll(x.reshape(2, H, H, C), (-shift, -shift), axis=(1, 2))
+    out = fused_swin_block(
+        xs, p, bias, mask, num_heads=heads, interpret=True,
+        pack2=True, fast_softmax=True,
+    )
+    got = np.asarray(jnp.roll(out, (shift, shift), axis=(1, 2))).reshape(
+        2, H * H, C
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
 def test_pair_bf16_activation_maps():
     """Pair kernel accepts bf16 x (bf16 in/out/scratch maps) and matches the
     f32 two-block reference to cosine >= 0.999."""
