@@ -88,6 +88,42 @@ def test_dp_cola_step_matches_single_device(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
 
 
+def test_dp_mixed_precision_cp_step(tmp_path):
+    """bf16 mixed-precision CP composes with the 8-way data-parallel mesh:
+    the GSPMD-sharded bf16 step runs and its losses track the single-device
+    bf16 run (same seeds/batches)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    tiny16 = dataclasses.replace(TINY, compute_dtype=jnp.bfloat16)
+
+    def run(mesh, tag):
+        variables, history, _ = train_multiple_data(
+            f"dp16-{tag}",
+            data_source={"t": 32},
+            encoder="htsat",
+            htsat_config=tiny16,
+            n_epoches=1,
+            batch_size=8,
+            corpora=[_tiny_corpus()],
+            mesh=mesh,
+            ckpt_root=str(tmp_path / f"cks16-{tag}"),
+            log_dir=str(tmp_path / f"logs16-{tag}"),
+            verbose=False,
+        )
+        return history
+
+    h_dp = run(data_parallel_mesh(8), "mesh")
+    h_sd = run(None, "single")
+    assert np.isfinite(h_dp[-1]["train_loss"])
+    # bf16 forward: psum re-association noise is amplified by the coarser
+    # mantissa, so the tolerance is looser than the f32 DP test's
+    np.testing.assert_allclose(
+        h_dp[-1]["train_loss"], h_sd[-1]["train_loss"], rtol=3e-2
+    )
+
+
 def test_sharded_extraction_matches_unsharded():
     """operaCT extraction with a mesh == without, bit-tolerant."""
     from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
