@@ -148,6 +148,27 @@ class TestMaeCP:
         assert "train0_loss" in rows[0]
         assert np.isfinite(float(rows[-1]["train0_loss"]))
 
+    def test_one_epoch_mixed_precision(self, tmp_path):
+        """compute_dtype=bf16 composes with config_override: bf16 encoder
+        ViT blocks, finite losses."""
+        import jax.numpy as jnp
+
+        c = synth_corpus("a", 60, 20, 40, 16, 32)
+        _, history, _ = mae_train_multiple_data(
+            "tiny-mae16",
+            data_source={"a": 32},
+            n_epoches=1,
+            batch_size=4,
+            corpora=[c],
+            config_override=TINY_MAE,
+            compute_dtype=jnp.bfloat16,
+            ckpt_root=str(tmp_path / "cks16"),
+            log_dir=str(tmp_path / "logs16"),
+            verbose=False,
+        )
+        assert np.isfinite(history[-1]["valid_loss"])
+        assert history[-1]["train_loss"] > 0.0
+
 
 def test_sampler_small_corpus_drop_last_does_not_hang():
     """mae method uses drop_last=True; a corpus smaller than the batch size
