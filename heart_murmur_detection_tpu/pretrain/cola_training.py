@@ -17,6 +17,8 @@ import os
 import time
 from typing import Dict, Optional
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -112,7 +114,7 @@ def train_multiple_data(
 
     from ..models.cola import cola_loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x1, x2, rng):
         def loss_fn(p):
             (z1, z2), new_state = model.apply(

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import functools
+
 import jax
 import optax
 
@@ -51,7 +53,9 @@ def make_frozen(tx, trainable_fn: Optional[Callable] = None):
 
 
 def make_cola_train_step(model: Cola, tx):
-    @jax.jit
+    # donate params/opt_state: the returned trees reuse the input buffers
+    # (halves peak HBM for the optimizer state; the caller always rebinds)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x1, x2, rng):
         def loss_fn(p):
             z1, z2 = model.apply(
@@ -76,7 +80,7 @@ def make_cola_eval_step(model: Cola):
 
 
 def make_mae_train_step(model: MaskedAutoencoderViT, tx):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, rng):
         def loss_fn(p):
             loss, _, _ = model.apply({"params": p}, x, rng=rng)

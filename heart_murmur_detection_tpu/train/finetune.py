@@ -23,6 +23,8 @@ import os
 from typing import Dict, Optional, Sequence
 
 import flax.linen as nn
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -243,6 +245,9 @@ def finetune_classifier(
         loss = loss + 0.2 * l2_strength * _tree_l2(params["encoder"])
         return loss, new_state.get("batch_stats", batch_stats)
 
+    # NOTE: no buffer donation here — the early-stopping logic snapshots
+    # `best = (params, batch_stats)` across epochs, which would alias
+    # donated inputs
     @jax.jit
     def run_epoch(params, batch_stats, opt_state, perm_e, rng):
         def step(carry, inp):
