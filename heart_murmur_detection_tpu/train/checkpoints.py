@@ -48,6 +48,33 @@ def find_best_ckpt(
     return best
 
 
+class EarlyStopping:
+    """PL EarlyStopping semantics (reference finetuning.py:1316-1318,
+    linear_eval.py:1151-1152): the tracked best moves — and the wait counter
+    resets — only on an improvement strictly exceeding min_delta; step()
+    returns True once `patience` consecutive non-improvements accumulate.
+    patience=None disables stopping (step() always returns False)."""
+
+    def __init__(self, mode: str = "max", min_delta: float = 1e-3,
+                 patience: Optional[int] = 10):
+        assert mode in ("max", "min")
+        self.sign = 1.0 if mode == "max" else -1.0
+        self.min_delta = float(min_delta)
+        self.patience = patience
+        self.best = -float("inf")
+        self.wait = 0
+
+    def step(self, value: float) -> bool:
+        if self.patience is None:
+            return False
+        v = self.sign * float(value)
+        if v - self.min_delta > self.best:
+            self.best, self.wait = v, 0
+            return False
+        self.wait += 1
+        return self.wait >= self.patience
+
+
 class ResumeCheckpointer:
     """Full-train-state 'last' checkpoint for automatic resume — a capability
     the reference lacks (SURVEY §5.3: manual resume only). Saves

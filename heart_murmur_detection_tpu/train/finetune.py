@@ -299,14 +299,15 @@ def finetune_classifier(
     perms = _make_perms(rng_np, len(x_train), batch_size, epochs)
     rng = jax.random.PRNGKey(seed + 7)
 
+    from .checkpoints import EarlyStopping
+
     best_auc, best_epoch = -1.0, -1
     best = (params, batch_stats)
     stopped = epochs - 1
     # PL EarlyStopping(valid_auc, mode=max, min_delta=0.001, patience=10)
-    # semantics (finetuning.py:1316-1318): es_best only moves on an
-    # improvement strictly exceeding min_delta, and wait resets on that same
-    # condition. Tracked separately from best_auc (ModelCheckpoint best).
-    es_best, wait = -np.inf, 0
+    # (finetuning.py:1316-1318); tracked separately from best_auc
+    # (ModelCheckpoint best).
+    es = EarlyStopping("max", min_delta, patience)
     for e in range(epochs):
         rng, k = jax.random.split(rng)
         params, batch_stats, opt_state = run_epoch(
@@ -316,13 +317,9 @@ def finetune_classifier(
         vauc = M.auroc(y_val, probs_v, n_cls, "macro")
         if vauc > best_auc:
             best_auc, best_epoch, best = vauc, e, (params, batch_stats)
-        if vauc - min_delta > es_best:
-            es_best, wait = vauc, 0
-        else:
-            wait += 1
-            if wait >= patience:
-                stopped = e
-                break
+        if es.step(vauc):
+            stopped = e
+            break
 
     params, batch_stats = best
     result_metrics: Dict[str, object] = {}

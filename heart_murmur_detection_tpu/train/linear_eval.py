@@ -408,24 +408,20 @@ def train_regression_head(
 
     rng = np.random.default_rng(seed)
     perms = _make_perms(rng, len(x_train), batch_size, epochs)
+    from .checkpoints import EarlyStopping
+
     # PL EarlyStopping(valid_MAE, mode=min, min_delta=0.001, patience=5)
-    # semantics (linear_eval.py:1151-1152): es_best moves (and wait resets)
-    # only on an improvement strictly exceeding min_delta.
+    # semantics (linear_eval.py:1151-1152)
     best_mae, best_params = np.inf, params
-    es_best, wait = np.inf, 0
+    es = EarlyStopping("min", min_delta, patience)
     for e in range(epochs):
         params, opt_state = run_epoch(params, opt_state, jnp.asarray(perms[e]))
         pv = np.asarray(predict(params, jnp.asarray(x_val))).ravel()
         mae = float(np.mean(np.abs(pv - np.asarray(y_val).ravel())))
         if mae < best_mae:
             best_mae, best_params = mae, params
-        if patience is not None:
-            if mae + min_delta < es_best:
-                es_best, wait = mae, 0
-            else:
-                wait += 1
-                if wait >= patience:
-                    break
+        if es.step(mae):
+            break
     pt = np.asarray(predict(best_params, jnp.asarray(x_test))).ravel()
     yt = np.asarray(y_test).ravel()
     test_mae = float(np.mean(np.abs(pt - yt)))
