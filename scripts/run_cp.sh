@@ -11,11 +11,14 @@ for d, sec in [("circor", 8), ("physionet16", 8), ("zchsound_clean", 8),
     prepare.preprocess_spectrogram_ssl_audiomae(f"feature/{d}_eval/", input_sec=10)
 EOF
 
-# 2) COLA CP, all heart corpora, warm-start from OPERA-CT (H2 heart-all)
+# 2) COLA CP, all heart corpora, warm-start from OPERA-CT (H2 heart-all).
+# compute_dtype=bfloat16 = mixed-precision encoder compute (~2.3-2.5x step
+# time on TPU at matched loss trajectories, RESULTS.md); drop for strict f32.
 python -m heart_murmur_detection_tpu.cli.pretrain \
   circor=True pascal_A=True pascal_B=True physionet16=True \
   zchsound_clean=True zchsound_noisy=True \
-  encoder=htsat pretrain=operaCT title=operaCT-heart-all epoches=250 method=cola
+  encoder=htsat pretrain=operaCT title=operaCT-heart-all epoches=250 method=cola \
+  compute_dtype=bfloat16
 
 # 3) COLA CP from scratch (H2.1)
 # python -m heart_murmur_detection_tpu.cli.pretrain \
