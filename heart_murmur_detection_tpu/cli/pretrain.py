@@ -35,6 +35,21 @@ def main(argv=None):
         # mixed-precision CP (compute_dtype=bfloat16): bf16 encoder compute
         # with f32 norms/softmax/residual carries and f32 params/optimizer
         compute_dtype = parse_compute_dtype(cfg)
+        # multi-chip: dp=N data-parallel devices; tp=N adds a tensor axis
+        # (Megatron param sharding by default, param_sharding=fsdp for
+        # ZeRO-3-style placement). dp*tp devices must exist.
+        dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
+        param_sharding = cfg.get("param_sharding")
+        mesh = None
+        if tp > 1:
+            from ..parallel.mesh import mesh_2d
+
+            mesh = mesh_2d(dp, tp)
+            param_sharding = param_sharding or "megatron"
+        elif dp > 1:
+            from ..parallel.mesh import data_parallel_mesh
+
+            mesh = data_parallel_mesh(dp)
         if method == "cola":
             train_multiple_data(
                 cfg["title"],
@@ -45,8 +60,12 @@ def main(argv=None):
                 n_epoches=cfg.get("epoches", 512),
                 pretrain=cfg.get("pretrain"),
                 freeze_encoder=cfg.get("freeze_encoder", "none"),
+                batch_size=int(cfg.get("batch_size", 64)),
+                lr=float(cfg.get("lr", 1e-4)),
                 seed=cfg.get("seed", 42),
                 compute_dtype=compute_dtype,
+                mesh=mesh,
+                param_sharding=param_sharding,
             )
         else:
             mae_train_multiple_data(
@@ -55,8 +74,12 @@ def main(argv=None):
                 n_epoches=cfg.get("epoches", 512),
                 training_method=method,
                 pretrain=cfg.get("pretrain"),
+                batch_size=int(cfg.get("batch_size", 64)),
+                lr=float(cfg.get("lr", 1e-4)),
                 seed=cfg.get("seed", 42),
                 compute_dtype=compute_dtype,
+                mesh=mesh,
+                param_sharding=param_sharding,
             )
 
 

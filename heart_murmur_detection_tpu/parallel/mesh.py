@@ -5,9 +5,18 @@ The reference is strictly single-GPU (`devices=1` in every Trainer; SURVEY
 jax.sharding.Mesh over ICI with batch-dim NamedSharding for training and
 extraction; gradient/metric reductions become compiler-inserted psums via jit
 with sharding annotations (no hand-written collectives needed at this model
-scale). The mesh keeps a 'data' axis; tensor/pipeline axes are not warranted
-for <=ViT-L encoders but the helpers accept arbitrary axis layouts so a
-('replica','data') or ('dcn','ici') 2-level mesh can be dropped in.
+scale).
+
+Two mesh layouts are supported:
+- 1-D ('data',): pure data parallelism — params replicated, batch sharded,
+  GSPMD inserts the grad psum over ICI. The warranted default for <=ViT-L
+  encoders that fit one chip.
+- 2-D ('data','model'): adds a tensor axis. `transformer_param_specs` builds
+  Megatron-style PartitionSpecs (qkv/fc1 column-parallel, attn-proj/fc2
+  row-parallel) or FSDP-style specs (every large param sharded on its
+  largest divisible axis; all-gathered on use, grads reduce-scattered).
+  GSPMD propagates activation shardings from the param annotations, so the
+  train step itself is unchanged — annotate and jit.
 """
 
 from __future__ import annotations
@@ -25,6 +34,82 @@ def data_parallel_mesh(
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     return Mesh(np.asarray(devs[:n]).reshape(n), (axis_name,))
+
+
+def mesh_2d(
+    n_data: int, n_model: int, axis_names: tuple = ("data", "model")
+) -> Mesh:
+    """(data x model) mesh. On real hardware lay 'model' on the faster ICI
+    ring (jax.devices() order is the physical order on a slice); under the
+    virtual CPU mesh the layout only affects which collective is emitted."""
+    devs = jax.devices()
+    n = n_data * n_model
+    return Mesh(np.asarray(devs[:n]).reshape(n_data, n_model), axis_names)
+
+
+def _megatron_spec(path: tuple, x, n_model: int, axis: str):
+    """Column-parallel up-projections (qkv, mlp fc1), row-parallel
+    down-projections (attention proj, mlp fc2); everything else replicated.
+    Matches the transformer block naming shared by HTS-AT (models/htsat.py
+    WindowAttention/Mlp) and the MAE ViTs (models/vit_mae.py)."""
+    names = tuple(str(k.key) if hasattr(k, "key") else str(k) for k in path)
+    if len(names) < 2 or x.ndim != 2 or names[-1] != "kernel":
+        return P()
+    parent = names[-2]
+    # column-parallel: qkv / mlp up-projection (HTS-AT nests them as
+    # attn/qkv + mlp/fc1; the MAE ViTs flatten to attn_qkv + mlp_fc1)
+    if parent.endswith("qkv") or parent.endswith("fc1"):
+        return P(None, axis) if x.shape[1] % n_model == 0 else P()
+    # row-parallel: attention out-projection / mlp down-projection
+    # (NOT patch_embed's 'proj' — that one has no attn ancestor)
+    is_attn_proj = parent == "attn_proj" or (
+        parent == "proj" and len(names) >= 3 and names[-3].endswith("attn")
+    )
+    if parent.endswith("fc2") or is_attn_proj:
+        return P(axis, None) if x.shape[0] % n_model == 0 else P()
+    return P()
+
+
+def _fsdp_spec(path: tuple, x, n_model: int, axis: str, min_size: int):
+    """Shard every sufficiently large param along its largest
+    model-divisible axis (ZeRO-3 semantics: weights all-gathered at use,
+    grads reduce-scattered, optimizer state sharded)."""
+    if x.ndim == 0 or x.size < min_size:
+        return P()
+    order = sorted(range(x.ndim), key=lambda d: x.shape[d], reverse=True)
+    for d in order:
+        if x.shape[d] % n_model == 0 and x.shape[d] >= n_model:
+            spec = [None] * x.ndim
+            spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def transformer_param_specs(
+    params,
+    mesh: Mesh,
+    rule: str = "megatron",
+    axis: str = "model",
+    fsdp_min_size: int = 1024,
+):
+    """PartitionSpec tree for a transformer param tree on a mesh with a
+    tensor axis. rule='megatron' | 'fsdp' (see module docstring)."""
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
+    n_model = mesh.shape[axis]
+    if rule == "megatron":
+        f = lambda p, x: _megatron_spec(p, x, n_model, axis)
+    elif rule == "fsdp":
+        f = lambda p, x: _fsdp_spec(p, x, n_model, axis, fsdp_min_size)
+    else:
+        raise ValueError(f"unknown param sharding rule: {rule!r}")
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
+def shard_params(params, mesh: Mesh, specs):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):

@@ -53,6 +53,7 @@ def train_multiple_data(
     ckpt_root: str = "cks/model/combined",
     log_dir: str = "cks/logs",
     mesh=None,
+    param_sharding: Optional[str] = None,
     corpora: Optional[list] = None,
     manifest_fn=None,
     eval_every: int = 1,
@@ -110,7 +111,6 @@ def train_multiple_data(
     tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
     if freeze_encoder == "early":
         tx = steps.make_frozen(tx, _cola_early_freeze)
-    opt_state = tx.init(params)
 
     from ..models.cola import cola_loss
 
@@ -146,9 +146,23 @@ def train_multiple_data(
 
     batch_stats = extra.get("batch_stats", {})
     if mesh is not None:
-        params = put_replicated(params, mesh)
-        batch_stats = put_replicated(batch_stats, mesh)
-        opt_state = put_replicated(opt_state, mesh)
+        if param_sharding is not None:
+            # tensor axis: Megatron/FSDP param placement; GSPMD propagates
+            # activation shardings and inserts the collectives. Optimizer
+            # state is born sharded by jit-initializing from sharded params
+            # (zeros_like inherits the param sharding).
+            from ..parallel.mesh import shard_params, transformer_param_specs
+
+            specs = transformer_param_specs(params, mesh, rule=param_sharding)
+            params = shard_params(params, mesh, specs)
+            batch_stats = put_replicated(batch_stats, mesh)
+            opt_state = jax.jit(tx.init)(params)
+        else:
+            params = put_replicated(params, mesh)
+            batch_stats = put_replicated(batch_stats, mesh)
+            opt_state = jax.jit(tx.init)(params)
+    else:
+        opt_state = tx.init(params)
 
     from ..train.checkpoints import ResumeCheckpointer
 

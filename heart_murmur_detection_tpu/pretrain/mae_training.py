@@ -38,6 +38,7 @@ def mae_train_multiple_data(
     ckpt_root: str = "cks/model/combined",
     log_dir: str = "cks/logs",
     mesh=None,
+    param_sharding: Optional[str] = None,
     corpora: Optional[list] = None,
     manifest_fn=None,
     verbose: bool = True,
@@ -85,13 +86,20 @@ def mae_train_multiple_data(
     sampler = MultiCorpusSampler(corpora, batch_size, "mae", seed=seed)
 
     tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
-    opt_state = tx.init(params)
     train_step = steps.make_mae_train_step(model, tx)
     eval_step = steps.make_mae_eval_step(model)
 
     if mesh is not None:
-        params = put_replicated(params, mesh)
-        opt_state = put_replicated(opt_state, mesh)
+        if param_sharding is not None:
+            from ..parallel.mesh import shard_params, transformer_param_specs
+
+            specs = transformer_param_specs(params, mesh, rule=param_sharding)
+            params = shard_params(params, mesh, specs)
+        else:
+            params = put_replicated(params, mesh)
+        opt_state = jax.jit(tx.init)(params)
+    else:
+        opt_state = tx.init(params)
 
     from ..train.checkpoints import ResumeCheckpointer
 

@@ -161,7 +161,18 @@ def finetune_classifier(
     annotations_test: Optional[np.ndarray] = None,
     htsat_config: Optional[HTSATConfig] = None,
     compute_dtype=None,
+    mesh=None,
 ) -> FTResult:
+    # mesh: data-parallel fine-tuning over a jax.sharding.Mesh with a 'data'
+    # axis. The cached spectrograms are replicated (they are small — the
+    # largest shipped cache is ~200 MB) and each scan step's gathered batch
+    # is resharded onto the data axis with a sharding constraint, so the
+    # encoder fwd+bwd runs data-parallel and GSPMD inserts the grad psum.
+    # batch_size must divide the data axis (perms pad tails to full size).
+    if mesh is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by data axis {mesh.shape['data']}"
+        )
     model = EncoderClassifier(
         encoder_kind=encoder_kind,
         classes=n_cls,
@@ -222,6 +233,12 @@ def finetune_classifier(
     )
     X = jnp.asarray(x_train)
     Y = jnp.asarray(y_train.astype(np.int32))
+    if mesh is not None:
+        from ..parallel.mesh import put_replicated
+
+        params, batch_stats, opt_state, X, Y, cw = put_replicated(
+            (params, batch_stats, opt_state, X, Y, cw), mesh
+        )
 
     has_bn = bool(jax.tree.leaves(batch_stats))
 
@@ -257,6 +274,13 @@ def finetune_classifier(
             xb = X[jnp.maximum(idx, 0)]
             yb = Y[jnp.maximum(idx, 0)]
             valid = (idx >= 0).astype(jnp.float32)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+                xb = jax.lax.with_sharding_constraint(xb, batch_sh)
+                yb = jax.lax.with_sharding_constraint(yb, batch_sh)
+                valid = jax.lax.with_sharding_constraint(valid, batch_sh)
             if spec_augment:
                 keys = jax.random.split(ka, xb.shape[0])
                 xb = jax.vmap(
@@ -419,6 +443,7 @@ def finetune_heart(
     random_init: bool = False,
     ckpt_path: Optional[str] = None,
     compute_dtype=None,
+    mesh=None,
 ) -> FTResult:
     y_label = np.load(os.path.join(feature_dir, labels_filename))
     y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
@@ -527,6 +552,7 @@ def finetune_heart(
         task=task,
         annotations_test=ann,
         compute_dtype=compute_dtype,
+        mesh=mesh,
     )
     # save the best checkpoint with the reference filename convention and log
     ck_dir = (

@@ -20,6 +20,11 @@ python -m heart_murmur_detection_tpu.cli.pretrain \
   encoder=htsat pretrain=operaCT title=operaCT-heart-all epoches=250 method=cola \
   compute_dtype=bfloat16
 
+# Multi-chip: add dp=N for N-way data parallelism (grad psum over ICI), or
+# dp=N tp=M for a 2-D mesh with Megatron tensor-sharded params
+# (param_sharding=fsdp for ZeRO-3-style placement). N*M chips must exist.
+#   ... encoder=htsat pretrain=operaCT title=... dp=4 tp=2
+
 # 3) COLA CP from scratch (H2.1)
 # python -m heart_murmur_detection_tpu.cli.pretrain \
 #   circor=True pascal_A=True pascal_B=True physionet16=True \

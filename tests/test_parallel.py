@@ -13,9 +13,12 @@ import pytest
 from heart_murmur_detection_tpu.models.htsat import HTSATConfig
 from heart_murmur_detection_tpu.parallel.mesh import (
     data_parallel_mesh,
+    mesh_2d,
     put_replicated,
     replicate_sharding,
     shard_batch,
+    shard_params,
+    transformer_param_specs,
 )
 from heart_murmur_detection_tpu.pretrain.cola_training import train_multiple_data
 from heart_murmur_detection_tpu.pretrain.data import Corpus, MultiCorpusSampler
@@ -173,6 +176,176 @@ def test_sampler_drop_last_non_divisible():
         assert x1.shape == (4, 32, 16) and x2.shape == (4, 32, 16)
     for _, vb in s.val_batches():
         assert vb[0].shape[0] == 4  # 5 % 4 == 1 tail dropped
+
+
+P = jax.sharding.PartitionSpec
+
+
+def test_megatron_specs():
+    """Column-parallel qkv/fc1, row-parallel attn-proj/fc2, everything else
+    (convs, biases, norms, indivisible dims) replicated — for both the
+    nested HTS-AT naming and the flat MAE-ViT naming."""
+    z = np.zeros
+    params = {
+        "encoder": {
+            "layers_0_blocks_0": {
+                "attn": {
+                    "qkv": {"kernel": z((16, 48)), "bias": z(48)},
+                    "proj": {"kernel": z((16, 16)), "bias": z(16)},
+                    "relative_position_bias_table": z((9, 2)),
+                },
+                "mlp": {"fc1": {"kernel": z((16, 64))}, "fc2": {"kernel": z((64, 16))}},
+            },
+            "patch_embed": {"proj": {"kernel": z((4, 4, 1, 16))}},
+        },
+        "blocks_0": {
+            "attn_qkv": {"kernel": z((32, 96))},
+            "attn_proj": {"kernel": z((32, 32))},
+            "mlp_fc1": {"kernel": z((32, 128))},
+            "mlp_fc2": {"kernel": z((128, 32))},
+        },
+        "odd": {"fc1": {"kernel": z((16, 65))}},  # 65 % 4 != 0 -> replicated
+    }
+    mesh = mesh_2d(2, 4)
+    s = transformer_param_specs(params, mesh, rule="megatron")
+    blk = s["encoder"]["layers_0_blocks_0"]
+    assert blk["attn"]["qkv"]["kernel"] == P(None, "model")
+    assert blk["attn"]["qkv"]["bias"] == P()
+    assert blk["attn"]["proj"]["kernel"] == P("model", None)
+    assert blk["attn"]["relative_position_bias_table"] == P()
+    assert blk["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert blk["mlp"]["fc2"]["kernel"] == P("model", None)
+    # a conv 'proj' with no attn ancestor stays replicated
+    assert s["encoder"]["patch_embed"]["proj"]["kernel"] == P()
+    assert s["blocks_0"]["attn_qkv"]["kernel"] == P(None, "model")
+    assert s["blocks_0"]["attn_proj"]["kernel"] == P("model", None)
+    assert s["blocks_0"]["mlp_fc1"]["kernel"] == P(None, "model")
+    assert s["blocks_0"]["mlp_fc2"]["kernel"] == P("model", None)
+    assert s["odd"]["fc1"]["kernel"] == P()
+
+    placed = shard_params(params, mesh, s)
+    qkv = placed["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+
+
+def test_fsdp_specs():
+    mesh = mesh_2d(2, 4)
+    params = {
+        "big": np.zeros((48, 64)),  # largest axis 64 % 4 == 0 -> sharded
+        "tiny": np.zeros((8,)),  # below min_size -> replicated
+        "odd": np.zeros((130, 7)),  # no axis divisible by 4 -> replicated
+    }
+    s = transformer_param_specs(params, mesh, rule="fsdp", fsdp_min_size=64)
+    assert s["big"] == P(None, "model")
+    assert s["tiny"] == P()
+    assert s["odd"] == P()
+    with pytest.raises(ValueError, match="no 'model' axis"):
+        transformer_param_specs(params, data_parallel_mesh(8))
+
+
+@pytest.mark.parametrize("rule", ["megatron", "fsdp"])
+def test_tp_cola_step_matches_single_device(tmp_path, rule):
+    """COLA CP over a 2-D (data=2, model=2) mesh with tensor-sharded params
+    == the single-device run: GSPMD's partitioned matmuls + collectives must
+    reproduce the unsharded numerics (same host-side sampling seeds)."""
+    mesh = mesh_2d(2, 2)
+
+    def run(mesh_, ps, tag):
+        variables, history, _ = train_multiple_data(
+            f"tp-{tag}",
+            data_source={"t": 32},
+            encoder="htsat",
+            htsat_config=TINY,
+            n_epoches=1,
+            batch_size=8,
+            corpora=[_tiny_corpus()],
+            mesh=mesh_,
+            param_sharding=ps,
+            ckpt_root=str(tmp_path / f"cks-{tag}"),
+            log_dir=str(tmp_path / f"logs-{tag}"),
+            verbose=False,
+        )
+        return variables, history
+
+    v_tp, h_tp = run(mesh, rule, f"{rule}")
+    v_sd, h_sd = run(None, None, "single")
+    assert np.isfinite(h_tp[-1]["train_loss"])
+    np.testing.assert_allclose(
+        h_tp[-1]["train_loss"], h_sd[-1]["train_loss"], rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        h_tp[-1]["valid_loss"], h_sd[-1]["valid_loss"], rtol=2e-4
+    )
+    # with megatron sharding the qkv kernels must actually live sharded
+    if rule == "megatron":
+        qkv = v_tp["params"]["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+        assert qkv.sharding.spec == P(None, "model")
+    flat_tp = jax.tree.leaves(jax.device_get(v_tp["params"]))
+    flat_sd = jax.tree.leaves(jax.device_get(v_sd["params"]))
+    for a, b in zip(flat_tp, flat_sd):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+
+def test_tp_mae_cp_runs():
+    """MAE CP composes with the tensor axis: one epoch on a (2,2) mesh with
+    megatron-sharded ViT blocks trains to a finite loss."""
+    import tempfile
+
+    from heart_murmur_detection_tpu.pretrain.mae_training import (
+        mae_train_multiple_data,
+    )
+    from tests.test_pretrain import TINY_MAE, synth_corpus
+
+    d = tempfile.mkdtemp()
+    c = synth_corpus("a", 48, 20, 40, 16, 32)  # 4 val clips = 1 full val batch
+    _, history, _ = mae_train_multiple_data(
+        "tp-mae",
+        data_source={"a": 32},
+        n_epoches=1,
+        batch_size=4,
+        corpora=[c],
+        config_override=TINY_MAE,
+        mesh=mesh_2d(2, 2),
+        param_sharding="megatron",
+        ckpt_root=d + "/cks",
+        log_dir=d + "/logs",
+        verbose=False,
+    )
+    assert np.isfinite(history[-1]["valid_loss"])
+
+
+def test_dp_finetune_matches_single_device():
+    """Data-parallel fine-tuning (batch resharded inside the epoch scan,
+    GSPMD grad psum) == the single-device run: same seeds, same batches,
+    losses/params agree to float tolerance."""
+    from heart_murmur_detection_tpu.train.finetune import finetune_classifier
+    from tests.test_finetune import TINY_HTSAT, synth_clf_data
+
+    x, y = synth_clf_data(48, 32, 16)
+    kw = dict(
+        encoder_kind="htsat",
+        htsat_config=TINY_HTSAT,
+        n_cls=2,
+        feat_dim=128,
+        lr=1e-3,
+        epochs=2,
+        batch_size=8,
+        seed=0,
+    )
+    args = (x[:32], y[:32], x[32:40], y[32:40], x[40:], y[40:])
+    r_dp = finetune_classifier(*args, mesh=data_parallel_mesh(8), **kw)
+    r_sd = finetune_classifier(*args, **kw)
+    assert np.isfinite(r_dp.test_auc)
+    np.testing.assert_allclose(r_dp.valid_auc, r_sd.valid_auc, rtol=1e-3)
+    flat_dp = jax.tree.leaves(r_dp.variables["params"])
+    flat_sd = jax.tree.leaves(r_sd.variables["params"])
+    for a, b in zip(flat_dp, flat_sd):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        finetune_classifier(
+            *args, mesh=data_parallel_mesh(8), **{**kw, "batch_size": 12}
+        )
 
 
 def test_shard_batch_layout():
