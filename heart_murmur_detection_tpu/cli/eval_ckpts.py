@@ -33,6 +33,9 @@ def _split_finetuned(finetuned_task: str):
 
 def evaluate_one(cfg, seed: int) -> float:
     ds, task, fdir, labels = route_heart_task(cfg["task"])
+    # pretrain=null coerces to None; downstream string-compares "null"
+    if cfg.get("pretrain") is None:
+        cfg = {**cfg, "pretrain": "null"}
     common = dict(
         seed=seed,
         metrics=cfg["metrics"],

@@ -15,12 +15,22 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     for cfg in resolve("finetune_config", argv):
         ds, task, fdir, labels = route_heart_task(cfg["task"])
+        # pretrain=null (random-init efficientnet) is string-compared
+        # downstream (finetuning.py:183 `if pretrain == "null"`); the
+        # yaml/hydra coercion turns the CLI token into None — map it back.
+        pretrain = "null" if cfg["pretrain"] is None else cfg["pretrain"]
+        # dp=N: data-parallel fine-tuning over N devices (grad psum via GSPMD)
+        mesh = None
+        if int(cfg.get("dp", 1)) > 1:
+            from ..parallel.mesh import data_parallel_mesh
+
+            mesh = data_parallel_mesh(int(cfg["dp"]))
         scores = []
         for seed in range(cfg["n_run"]):
             res = finetune_heart(
                 seed=seed,
-                pretrain=cfg["pretrain"],
-                epochs=64,
+                pretrain=pretrain,
+                epochs=int(cfg.get("epochs", 64)),
                 l2_strength=cfg["l2_strength"],
                 feat_dim=cfg["dim"],
                 dataset_name=ds,
@@ -34,6 +44,7 @@ def main(argv=None):
                 # compute_dtype=bfloat16: mixed-precision encoder fine-tune
                 # (bf16 matmuls/convs, f32 norms/softmax/residual carries)
                 compute_dtype=parse_compute_dtype(cfg),
+                mesh=mesh,
             )
             print(f"seed {seed}: test_auc {res.test_auc:.4f} (best epoch {res.best_epoch})")
             scores.append(res.test_auc)

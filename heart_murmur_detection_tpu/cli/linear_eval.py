@@ -39,7 +39,9 @@ def route_heart_task(task: str):
 
 
 def feature_name(cfg) -> str:
-    feature = cfg["pretrain"]
+    # pretrain=null coerces to None (yaml/hydra); downstream is all string
+    # compares ("null" = random-init efficientnet, finetuning.py:183)
+    feature = "null" if cfg["pretrain"] is None else cfg["pretrain"]
     if (
         feature not in ["vggish", "opensmile", "clap", "audiomae", "hear", "clap2023"]
         and "audiomae" not in feature
