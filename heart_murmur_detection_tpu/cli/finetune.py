@@ -51,7 +51,7 @@ def main(argv=None):
         print("=" * 48)
         print(scores)
         print(
-            f"Five times mean task {cfg['task']} finetuning from {cfg['pretrain']} "
+            f"Five times mean task {cfg['task']} finetuning from {pretrain} "
             f"results: auc mean {np.mean(scores):.3f} ± {np.std(scores):.3f}"
         )
         print("=" * 48)

@@ -37,7 +37,8 @@ def main(argv=None):
         compute_dtype = parse_compute_dtype(cfg)
         # multi-chip: dp=N data-parallel devices; tp=N adds a tensor axis
         # (Megatron param sharding by default, param_sharding=fsdp for
-        # ZeRO-3-style placement). dp*tp devices must exist.
+        # ZeRO-3-style placement). dp=N param_sharding=fsdp WITHOUT tp is
+        # classic ZeRO-3 over the data axis. dp*tp devices must exist.
         dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
         param_sharding = cfg.get("param_sharding")
         mesh = None

@@ -17,6 +17,14 @@ Two mesh layouts are supported:
   largest divisible axis; all-gathered on use, grads reduce-scattered).
   GSPMD propagates activation shardings from the param annotations, so the
   train step itself is unchanged — annotate and jit.
+
+rule='fsdp' also composes with the 1-D mesh (classic ZeRO-3: params and
+optimizer state sharded over the *data* axis, weights all-gathered at use)
+— `param_sharding_axis` picks the axis. Optimizer state is born sharded
+via `init_optimizer_sharded` (jit(tx.init) alone would NOT inherit the
+param placement: the zeros have no data dependence on the params, so XLA
+is free to place the whole state on one device and the first train step
+would silently reshard it).
 """
 
 from __future__ import annotations
@@ -85,6 +93,21 @@ def _fsdp_spec(path: tuple, x, n_model: int, axis: str, min_size: int):
     return P()
 
 
+def param_sharding_axis(mesh: Mesh, rule: str) -> str:
+    """Mesh axis to shard params over. Megatron tensor parallelism needs a
+    dedicated 'model' axis; FSDP/ZeRO-3 shards over the data axis when no
+    tensor axis exists (params all-gathered at use, grads reduce-scattered
+    — classic ZeRO-3 over pure DP)."""
+    if "model" in mesh.axis_names:
+        return "model"
+    if rule == "fsdp":
+        return mesh.axis_names[0]
+    raise ValueError(
+        "megatron param sharding needs a 'model' mesh axis "
+        f"(got {mesh.axis_names}); use a dp x tp mesh or param_sharding=fsdp"
+    )
+
+
 def transformer_param_specs(
     params,
     mesh: Mesh,
@@ -112,6 +135,55 @@ def shard_params(params, mesh: Mesh, specs):
     )
 
 
+def _path_keys(path) -> tuple:
+    out = []
+    for k in path:
+        if hasattr(k, "key"):
+            out.append(str(k.key))
+        elif hasattr(k, "name"):
+            out.append(str(k.name))
+        elif hasattr(k, "idx"):
+            out.append(str(k.idx))
+        else:
+            out.append(str(k))
+    return tuple(out)
+
+
+def optimizer_shardings(tx, params, mesh: Mesh, specs):
+    """NamedSharding pytree for tx.init(params), matching each optimizer-state
+    leaf to its param's PartitionSpec by path suffix (optax states embed
+    param-shaped subtrees under mu/nu/etc; scalars like count fall back to
+    replicated). Needed because jit(tx.init) does NOT propagate input
+    shardings — zeros depend only on shapes, so XLA is free to place the
+    whole state on one device; pass this as out_shardings to born-shard it."""
+    flat_specs = {
+        _path_keys(p): (s, tuple(x.shape))
+        for (p, s), (_, x) in zip(
+            jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda v: isinstance(v, P)
+            )[0],
+            jax.tree_util.tree_flatten_with_path(params)[0],
+        )
+    }
+    shapes = jax.eval_shape(tx.init, params)
+
+    def leaf_sharding(path, leaf):
+        keys = _path_keys(path)
+        for i in range(len(keys)):
+            hit = flat_specs.get(keys[i:])
+            if hit is not None and hit[1] == tuple(leaf.shape):
+                return NamedSharding(mesh, hit[0])
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, shapes)
+
+
+def init_optimizer_sharded(tx, params, mesh: Mesh, specs):
+    """tx.init with the state born sharded (see optimizer_shardings)."""
+    out_shardings = optimizer_shardings(tx, params, mesh, specs)
+    return jax.jit(tx.init, out_shardings=out_shardings)(params)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Put a host batch onto the mesh, sharded along the leading axis."""
     sharding = NamedSharding(mesh, P(axis_name))
@@ -126,3 +198,15 @@ def put_replicated(tree, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
     )
+
+
+def place_like(target, host_tree):
+    """device_put host_tree's leaves with the shardings of the matching
+    leaves of `target` (an already-placed tree of identical structure).
+
+    Used when restoring a checkpoint into a meshed run: ResumeCheckpointer
+    returns host numpy trees, and feeding those straight to a train step
+    compiled for sharded arguments would silently recompile for (and run
+    with) the wrong layout. Placing against the pre-resume tree reproduces
+    the exact init-time placement for any sharding rule."""
+    return jax.tree.map(lambda t, v: jax.device_put(v, t.sharding), target, host_tree)

@@ -148,19 +148,30 @@ def train_multiple_data(
     if mesh is not None:
         if param_sharding is not None:
             # tensor axis: Megatron/FSDP param placement; GSPMD propagates
-            # activation shardings and inserts the collectives. Optimizer
-            # state is born sharded by jit-initializing from sharded params
-            # (zeros_like inherits the param sharding).
-            from ..parallel.mesh import shard_params, transformer_param_specs
+            # activation shardings and inserts the collectives. The optimizer
+            # state is born sharded via explicit out_shardings — jit(tx.init)
+            # alone would NOT inherit the param placement (zeros depend only
+            # on shapes, so XLA may put the whole state on one device).
+            from ..parallel.mesh import (
+                init_optimizer_sharded,
+                param_sharding_axis,
+                shard_params,
+                transformer_param_specs,
+            )
 
-            specs = transformer_param_specs(params, mesh, rule=param_sharding)
+            specs = transformer_param_specs(
+                params, mesh, rule=param_sharding,
+                axis=param_sharding_axis(mesh, param_sharding),
+            )
             params = shard_params(params, mesh, specs)
             batch_stats = put_replicated(batch_stats, mesh)
-            opt_state = jax.jit(tx.init)(params)
+            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
         else:
+            from ..parallel.mesh import replicate_sharding
+
             params = put_replicated(params, mesh)
             batch_stats = put_replicated(batch_stats, mesh)
-            opt_state = jax.jit(tx.init)(params)
+            opt_state = jax.jit(tx.init, out_shardings=replicate_sharding(mesh))(params)
     else:
         opt_state = tx.init(params)
 
@@ -173,9 +184,21 @@ def train_multiple_data(
     if resume:
         restored = resume_ckpt.restore(opt_state_target=opt_state)
         if restored is not None:
-            start_epoch, variables_r, opt_state, _ = restored
-            params = variables_r["params"]
-            batch_stats = variables_r.get("batch_stats", batch_stats)
+            start_epoch, variables_r, opt_restored, _ = restored
+            if mesh is not None:
+                # re-apply the init-time placement: the restored host arrays
+                # must land with the same (replicated or tensor-sharded)
+                # layout the compiled train step expects
+                from ..parallel.mesh import place_like
+
+                params = place_like(params, variables_r["params"])
+                if "batch_stats" in variables_r:
+                    batch_stats = place_like(batch_stats, variables_r["batch_stats"])
+                opt_state = place_like(opt_state, opt_restored)
+            else:
+                params = variables_r["params"]
+                batch_stats = variables_r.get("batch_stats", batch_stats)
+                opt_state = opt_restored
             start_epoch += 1
             if verbose:
                 print(f"[cola-cp {title}] resumed at epoch {start_epoch}")

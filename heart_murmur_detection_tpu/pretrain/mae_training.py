@@ -91,13 +91,26 @@ def mae_train_multiple_data(
 
     if mesh is not None:
         if param_sharding is not None:
-            from ..parallel.mesh import shard_params, transformer_param_specs
+            # born-sharded optimizer state (jit(tx.init) alone would not
+            # inherit the param placement — zeros depend only on shapes)
+            from ..parallel.mesh import (
+                init_optimizer_sharded,
+                param_sharding_axis,
+                shard_params,
+                transformer_param_specs,
+            )
 
-            specs = transformer_param_specs(params, mesh, rule=param_sharding)
+            specs = transformer_param_specs(
+                params, mesh, rule=param_sharding,
+                axis=param_sharding_axis(mesh, param_sharding),
+            )
             params = shard_params(params, mesh, specs)
+            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
         else:
+            from ..parallel.mesh import replicate_sharding
+
             params = put_replicated(params, mesh)
-        opt_state = jax.jit(tx.init)(params)
+            opt_state = jax.jit(tx.init, out_shardings=replicate_sharding(mesh))(params)
     else:
         opt_state = tx.init(params)
 
@@ -110,8 +123,17 @@ def mae_train_multiple_data(
     if resume:
         restored = resume_ckpt.restore(opt_state_target=opt_state)
         if restored is not None:
-            start_epoch, variables_r, opt_state, _ = restored
-            params = variables_r["params"]
+            start_epoch, variables_r, opt_restored, _ = restored
+            if mesh is not None:
+                # restored host arrays must reproduce the init-time
+                # (replicated or tensor-sharded) placement
+                from ..parallel.mesh import place_like
+
+                params = place_like(params, variables_r["params"])
+                opt_state = place_like(opt_state, opt_restored)
+            else:
+                params = variables_r["params"]
+                opt_state = opt_restored
             start_epoch += 1
             if verbose:
                 print(f"[mae-cp {title}] resumed at epoch {start_epoch}")

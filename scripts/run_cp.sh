@@ -22,7 +22,8 @@ python -m heart_murmur_detection_tpu.cli.pretrain \
 
 # Multi-chip: add dp=N for N-way data parallelism (grad psum over ICI), or
 # dp=N tp=M for a 2-D mesh with Megatron tensor-sharded params
-# (param_sharding=fsdp for ZeRO-3-style placement). N*M chips must exist.
+# (param_sharding=fsdp for ZeRO-3-style placement); dp=N param_sharding=fsdp
+# without tp is classic ZeRO-3 over the data axis. N*M chips must exist.
 #   ... encoder=htsat pretrain=operaCT title=... dp=4 tp=2
 
 # 3) COLA CP from scratch (H2.1)

@@ -227,6 +227,19 @@ def test_megatron_specs():
     qkv = placed["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
     assert qkv.sharding.spec == P(None, "model")
 
+    # optimizer state must be BORN sharded: jit(tx.init) alone places the
+    # zeros on one device (no data dependence on the params), which the
+    # first train step then silently reshards — init_optimizer_sharded
+    # pins mu/nu to the param specs and scalars to replicated
+    import optax
+
+    from heart_murmur_detection_tpu.parallel.mesh import init_optimizer_sharded
+
+    opt = init_optimizer_sharded(optax.adam(1e-3), placed, mesh, s)
+    mu_qkv = opt[0].mu["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert mu_qkv.sharding.spec == P(None, "model")
+    assert opt[0].count.sharding.spec == P()
+
 
 def test_fsdp_specs():
     mesh = mesh_2d(2, 4)
@@ -284,6 +297,76 @@ def test_tp_cola_step_matches_single_device(tmp_path, rule):
     flat_sd = jax.tree.leaves(jax.device_get(v_sd["params"]))
     for a, b in zip(flat_tp, flat_sd):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+
+def test_zero3_over_data_axis_matches_single_device(tmp_path):
+    """param_sharding=fsdp on a 1-D ('data',) mesh = classic ZeRO-3: params
+    sharded over the data axis (all-gathered at use, grads reduce-scattered)
+    while the batch stays data-sharded. Numerics must equal the
+    single-device run."""
+    mesh = data_parallel_mesh(4)
+
+    def run(mesh_, ps, tag):
+        variables, history, _ = train_multiple_data(
+            f"z3-{tag}",
+            data_source={"t": 32},
+            encoder="htsat",
+            htsat_config=TINY,
+            n_epoches=1,
+            batch_size=8,
+            corpora=[_tiny_corpus()],
+            mesh=mesh_,
+            param_sharding=ps,
+            ckpt_root=str(tmp_path / f"cks-{tag}"),
+            log_dir=str(tmp_path / f"logs-{tag}"),
+            verbose=False,
+        )
+        return variables, history
+
+    v_z, h_z = run(mesh, "fsdp", "fsdp")
+    v_s, h_s = run(None, None, "single")
+    np.testing.assert_allclose(
+        h_z[-1]["train_loss"], h_s[-1]["train_loss"], rtol=2e-4
+    )
+    flat_z = jax.tree.leaves(jax.device_get(v_z["params"]))
+    flat_s = jax.tree.leaves(jax.device_get(v_s["params"]))
+    for a, b in zip(flat_z, flat_s):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+    # megatron on a 1-D mesh is a config error, not silent misplacement
+    from heart_murmur_detection_tpu.parallel.mesh import param_sharding_axis
+
+    with pytest.raises(ValueError, match="model"):
+        param_sharding_axis(mesh, "megatron")
+    assert param_sharding_axis(mesh, "fsdp") == "data"
+    assert param_sharding_axis(mesh_2d(2, 2), "fsdp") == "model"
+
+
+def test_tp_resume_preserves_sharding(tmp_path):
+    """Auto-resume into a tensor-sharded run must re-apply the init-time
+    placement (ResumeCheckpointer returns host numpy; parallel.mesh.place_like
+    restores the megatron layout instead of letting the train step recompile
+    for host-replicated arguments)."""
+    mesh = mesh_2d(2, 2)
+    common = dict(
+        data_source={"t": 32},
+        encoder="htsat",
+        htsat_config=TINY,
+        batch_size=8,
+        corpora=[_tiny_corpus()],
+        mesh=mesh,
+        param_sharding="megatron",
+        ckpt_root=str(tmp_path / "cks"),
+        log_dir=str(tmp_path / "logs"),
+        verbose=False,
+    )
+    _, h1, _ = train_multiple_data("tpr", n_epoches=6, **common)
+    assert len(h1) == 6
+    v2, h2, _ = train_multiple_data("tpr", n_epoches=8, resume=True, **common)
+    assert [h["epoch"] for h in h2] == [5, 6, 7]
+    assert np.isfinite(h2[-1]["train_loss"])
+    qkv = v2["params"]["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
 
 
 def test_tp_mae_cp_runs():
