@@ -19,12 +19,22 @@ def main(argv=None):
         # downstream (finetuning.py:183 `if pretrain == "null"`); the
         # yaml/hydra coercion turns the CLI token into None — map it back.
         pretrain = "null" if cfg["pretrain"] is None else cfg["pretrain"]
-        # dp=N: data-parallel fine-tuning over N devices (grad psum via GSPMD)
+        # dp=N: data-parallel fine-tuning over N devices (grad psum via
+        # GSPMD); tp=M adds a tensor axis (Megatron param sharding), and
+        # param_sharding=fsdp gives ZeRO-3 (over the tensor axis if tp>1,
+        # else over the data axis) — the memory knob for full-encoder FT
+        dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
+        param_sharding = cfg.get("param_sharding")
         mesh = None
-        if int(cfg.get("dp", 1)) > 1:
+        if tp > 1:
+            from ..parallel.mesh import mesh_2d
+
+            mesh = mesh_2d(dp, tp)
+            param_sharding = param_sharding or "megatron"
+        elif dp > 1:
             from ..parallel.mesh import data_parallel_mesh
 
-            mesh = data_parallel_mesh(int(cfg["dp"]))
+            mesh = data_parallel_mesh(dp)
         scores = []
         for seed in range(cfg["n_run"]):
             res = finetune_heart(
@@ -45,6 +55,7 @@ def main(argv=None):
                 # (bf16 matmuls/convs, f32 norms/softmax/residual carries)
                 compute_dtype=parse_compute_dtype(cfg),
                 mesh=mesh,
+                param_sharding=param_sharding,
             )
             print(f"seed {seed}: test_auc {res.test_auc:.4f} (best epoch {res.best_epoch})")
             scores.append(res.test_auc)

@@ -162,6 +162,7 @@ def finetune_classifier(
     htsat_config: Optional[HTSATConfig] = None,
     compute_dtype=None,
     mesh=None,
+    param_sharding: Optional[str] = None,
 ) -> FTResult:
     # mesh: data-parallel fine-tuning over a jax.sharding.Mesh with a 'data'
     # axis. The cached spectrograms are replicated (they are small — the
@@ -169,6 +170,8 @@ def finetune_classifier(
     # is resharded onto the data axis with a sharding constraint, so the
     # encoder fwd+bwd runs data-parallel and GSPMD inserts the grad psum.
     # batch_size must divide the data axis (perms pad tails to full size).
+    # param_sharding ('megatron'|'fsdp') additionally tensor-shards the
+    # params + optimizer state (see parallel/mesh.py).
     if mesh is not None and batch_size % mesh.shape["data"] != 0:
         raise ValueError(
             f"batch_size {batch_size} not divisible by data axis {mesh.shape['data']}"
@@ -236,9 +239,27 @@ def finetune_classifier(
     if mesh is not None:
         from ..parallel.mesh import put_replicated
 
-        params, batch_stats, opt_state, X, Y, cw = put_replicated(
-            (params, batch_stats, opt_state, X, Y, cw), mesh
-        )
+        batch_stats, X, Y, cw = put_replicated((batch_stats, X, Y, cw), mesh)
+        if param_sharding is not None:
+            # tensor-sharded fine-tuning: megatron needs a 'model' axis
+            # (dp x tp mesh); fsdp on the 1-D mesh = ZeRO-3 over data —
+            # params/optimizer sharded, all-gathered at use (the memory
+            # knob for full-encoder FT of the ViT-L-class backbones)
+            from ..parallel.mesh import (
+                init_optimizer_sharded,
+                param_sharding_axis,
+                shard_params,
+                transformer_param_specs,
+            )
+
+            specs = transformer_param_specs(
+                params, mesh, rule=param_sharding,
+                axis=param_sharding_axis(mesh, param_sharding),
+            )
+            params = shard_params(params, mesh, specs)
+            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
+        else:
+            params, opt_state = put_replicated((params, opt_state), mesh)
 
     has_bn = bool(jax.tree.leaves(batch_stats))
 
@@ -444,6 +465,7 @@ def finetune_heart(
     ckpt_path: Optional[str] = None,
     compute_dtype=None,
     mesh=None,
+    param_sharding: Optional[str] = None,
 ) -> FTResult:
     y_label = np.load(os.path.join(feature_dir, labels_filename))
     y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
@@ -553,6 +575,7 @@ def finetune_heart(
         annotations_test=ann,
         compute_dtype=compute_dtype,
         mesh=mesh,
+        param_sharding=param_sharding,
     )
     # save the best checkpoint with the reference filename convention and log
     ck_dir = (

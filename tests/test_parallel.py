@@ -431,6 +431,37 @@ def test_dp_finetune_matches_single_device():
         )
 
 
+@pytest.mark.parametrize(
+    "mk_mesh,rule",
+    [(lambda: data_parallel_mesh(4), "fsdp"), (lambda: mesh_2d(2, 2), "megatron")],
+)
+def test_sharded_finetune_matches_single_device(mk_mesh, rule):
+    """Fine-tuning with tensor-sharded params (ZeRO-3 over data, or megatron
+    on a dp x tp mesh) == the single-device run."""
+    from heart_murmur_detection_tpu.train.finetune import finetune_classifier
+    from tests.test_finetune import TINY_HTSAT, synth_clf_data
+
+    x, y = synth_clf_data(48, 32, 16)
+    kw = dict(
+        encoder_kind="htsat",
+        htsat_config=TINY_HTSAT,
+        n_cls=2,
+        feat_dim=128,
+        lr=1e-3,
+        epochs=2,
+        batch_size=8,
+        seed=0,
+    )
+    args = (x[:32], y[:32], x[32:40], y[32:40], x[40:], y[40:])
+    r_sh = finetune_classifier(*args, mesh=mk_mesh(), param_sharding=rule, **kw)
+    r_sd = finetune_classifier(*args, **kw)
+    np.testing.assert_allclose(r_sh.valid_auc, r_sd.valid_auc, rtol=1e-3)
+    flat_sh = jax.tree.leaves(jax.device_get(r_sh.variables["params"]))
+    flat_sd = jax.tree.leaves(jax.device_get(r_sd.variables["params"]))
+    for a, b in zip(flat_sh, flat_sd):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-3)
+
+
 def test_shard_batch_layout():
     """shard_batch places shards round-robin over the data axis; values and
     per-device shapes are exact."""
