@@ -23,18 +23,9 @@ def main(argv=None):
         # GSPMD); tp=M adds a tensor axis (Megatron param sharding), and
         # param_sharding=fsdp gives ZeRO-3 (over the tensor axis if tp>1,
         # else over the data axis) — the memory knob for full-encoder FT
-        dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
-        param_sharding = cfg.get("param_sharding")
-        mesh = None
-        if tp > 1:
-            from ..parallel.mesh import mesh_2d
+        from ..parallel.mesh import mesh_from_cli
 
-            mesh = mesh_2d(dp, tp)
-            param_sharding = param_sharding or "megatron"
-        elif dp > 1:
-            from ..parallel.mesh import data_parallel_mesh
-
-            mesh = data_parallel_mesh(dp)
+        mesh, param_sharding = mesh_from_cli(cfg)
         scores = []
         for seed in range(cfg["n_run"]):
             res = finetune_heart(

@@ -35,22 +35,13 @@ def main(argv=None):
         # mixed-precision CP (compute_dtype=bfloat16): bf16 encoder compute
         # with f32 norms/softmax/residual carries and f32 params/optimizer
         compute_dtype = parse_compute_dtype(cfg)
-        # multi-chip: dp=N data-parallel devices; tp=N adds a tensor axis
+        # multi-chip: dp=N data-parallel devices; tp=M adds a tensor axis
         # (Megatron param sharding by default, param_sharding=fsdp for
         # ZeRO-3-style placement). dp=N param_sharding=fsdp WITHOUT tp is
         # classic ZeRO-3 over the data axis. dp*tp devices must exist.
-        dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
-        param_sharding = cfg.get("param_sharding")
-        mesh = None
-        if tp > 1:
-            from ..parallel.mesh import mesh_2d
+        from ..parallel.mesh import mesh_from_cli
 
-            mesh = mesh_2d(dp, tp)
-            param_sharding = param_sharding or "megatron"
-        elif dp > 1:
-            from ..parallel.mesh import data_parallel_mesh
-
-            mesh = data_parallel_mesh(dp)
+        mesh, param_sharding = mesh_from_cli(cfg)
         if method == "cola":
             train_multiple_data(
                 cfg["title"],

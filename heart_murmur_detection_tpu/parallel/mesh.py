@@ -184,6 +184,38 @@ def init_optimizer_sharded(tx, params, mesh: Mesh, specs):
     return jax.jit(tx.init, out_shardings=out_shardings)(params)
 
 
+def mesh_from_cli(cfg: dict):
+    """(mesh, param_sharding) from hydra-style cfg keys dp / tp /
+    param_sharding — the shared CLI contract (cli.pretrain, cli.finetune):
+    dp=N is 1-D data parallelism; tp=M adds a ('data','model') tensor axis
+    (Megatron param sharding by default); param_sharding=fsdp is ZeRO-3
+    (over 'model' if tp>1, else over the data axis). Requesting
+    param_sharding without any mesh is a config error, not a silent no-op."""
+    dp, tp = int(cfg.get("dp", 1)), int(cfg.get("tp", 1))
+    param_sharding = cfg.get("param_sharding")
+    if tp > 1:
+        return mesh_2d(dp, tp), (param_sharding or "megatron")
+    if dp > 1:
+        return data_parallel_mesh(dp), param_sharding
+    if param_sharding is not None:
+        raise ValueError(
+            f"param_sharding={param_sharding!r} requires a device mesh; "
+            "set dp=N (ZeRO-3 over data) or dp=N tp=M (tensor axis)"
+        )
+    return None, None
+
+
+def shard_params_and_opt(params, tx, mesh: Mesh, rule: str):
+    """Place params per `rule` and born-shard tx's state to match (the
+    shared trainer sequence: specs -> shard_params -> init_optimizer_sharded).
+    Returns (params, opt_state)."""
+    specs = transformer_param_specs(
+        params, mesh, rule=rule, axis=param_sharding_axis(mesh, rule)
+    )
+    params = shard_params(params, mesh, specs)
+    return params, init_optimizer_sharded(tx, params, mesh, specs)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Put a host batch onto the mesh, sharded along the leading axis."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -152,20 +152,10 @@ def train_multiple_data(
             # state is born sharded via explicit out_shardings — jit(tx.init)
             # alone would NOT inherit the param placement (zeros depend only
             # on shapes, so XLA may put the whole state on one device).
-            from ..parallel.mesh import (
-                init_optimizer_sharded,
-                param_sharding_axis,
-                shard_params,
-                transformer_param_specs,
-            )
+            from ..parallel.mesh import shard_params_and_opt
 
-            specs = transformer_param_specs(
-                params, mesh, rule=param_sharding,
-                axis=param_sharding_axis(mesh, param_sharding),
-            )
-            params = shard_params(params, mesh, specs)
+            params, opt_state = shard_params_and_opt(params, tx, mesh, param_sharding)
             batch_stats = put_replicated(batch_stats, mesh)
-            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
         else:
             from ..parallel.mesh import replicate_sharding
 

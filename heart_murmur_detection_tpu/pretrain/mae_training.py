@@ -93,19 +93,9 @@ def mae_train_multiple_data(
         if param_sharding is not None:
             # born-sharded optimizer state (jit(tx.init) alone would not
             # inherit the param placement — zeros depend only on shapes)
-            from ..parallel.mesh import (
-                init_optimizer_sharded,
-                param_sharding_axis,
-                shard_params,
-                transformer_param_specs,
-            )
+            from ..parallel.mesh import shard_params_and_opt
 
-            specs = transformer_param_specs(
-                params, mesh, rule=param_sharding,
-                axis=param_sharding_axis(mesh, param_sharding),
-            )
-            params = shard_params(params, mesh, specs)
-            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
+            params, opt_state = shard_params_and_opt(params, tx, mesh, param_sharding)
         else:
             from ..parallel.mesh import replicate_sharding
 

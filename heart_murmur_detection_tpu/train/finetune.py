@@ -227,8 +227,6 @@ def finetune_classifier(
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()}, labels
         )
-    opt_state = tx.init(params)
-
     cw = (
         jnp.asarray(class_weights)
         if class_weights is not None
@@ -244,22 +242,19 @@ def finetune_classifier(
             # tensor-sharded fine-tuning: megatron needs a 'model' axis
             # (dp x tp mesh); fsdp on the 1-D mesh = ZeRO-3 over data —
             # params/optimizer sharded, all-gathered at use (the memory
-            # knob for full-encoder FT of the ViT-L-class backbones)
-            from ..parallel.mesh import (
-                init_optimizer_sharded,
-                param_sharding_axis,
-                shard_params,
-                transformer_param_specs,
-            )
+            # knob for full-encoder FT of the ViT-L-class backbones). The
+            # optimizer state is born sharded — no transient full-size
+            # allocation on one chip.
+            from ..parallel.mesh import shard_params_and_opt
 
-            specs = transformer_param_specs(
-                params, mesh, rule=param_sharding,
-                axis=param_sharding_axis(mesh, param_sharding),
-            )
-            params = shard_params(params, mesh, specs)
-            opt_state = init_optimizer_sharded(tx, params, mesh, specs)
+            params, opt_state = shard_params_and_opt(params, tx, mesh, param_sharding)
         else:
-            params, opt_state = put_replicated((params, opt_state), mesh)
+            from ..parallel.mesh import replicate_sharding
+
+            params = put_replicated(params, mesh)
+            opt_state = jax.jit(tx.init, out_shardings=replicate_sharding(mesh))(params)
+    else:
+        opt_state = tx.init(params)
 
     has_bn = bool(jax.tree.leaves(batch_stats))
 

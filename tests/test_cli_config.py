@@ -27,6 +27,25 @@ def test_feature_name_null_pretrain():
     assert feature_name({"pretrain": "operaCT", "dim": 768}) == "operaCT768"
 
 
+def test_mesh_from_cli():
+    """Shared dp/tp/param_sharding CLI contract: no mesh without dp/tp;
+    param_sharding without a mesh is a config error (never a silent no-op);
+    tp>1 defaults to megatron."""
+    from heart_murmur_detection_tpu.parallel.mesh import mesh_from_cli
+
+    assert mesh_from_cli({}) == (None, None)
+    mesh, ps = mesh_from_cli({"dp": 4})
+    assert mesh.axis_names == ("data",) and ps is None
+    mesh, ps = mesh_from_cli({"dp": 2, "tp": 2})
+    assert mesh.axis_names == ("data", "model") and ps == "megatron"
+    mesh, ps = mesh_from_cli({"dp": 4, "param_sharding": "fsdp"})
+    assert mesh.axis_names == ("data",) and ps == "fsdp"
+    import pytest
+
+    with pytest.raises(ValueError, match="requires a device mesh"):
+        mesh_from_cli({"param_sharding": "fsdp"})
+
+
 def test_finetune_cli_null_pretrain(monkeypatch, capsys):
     """cli.finetune pretrain=null must reach finetune_heart as the string
     "null" (drives the whole resolve -> route -> dispatch path)."""
