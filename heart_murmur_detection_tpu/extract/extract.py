@@ -55,6 +55,7 @@ class FeatureExtractor:
         source_sr: Optional[int] = None,
         mesh=None,
         fast_softmax: bool = False,
+        use_fused_vit: Optional[bool] = None,
     ):
         # use_fused_htsat: models.htsat_fused forward — fused Pallas swin
         # blocks for the bandwidth-bound stages (C<=192). 1.13x runtime at
@@ -72,6 +73,21 @@ class FeatureExtractor:
         if use_fused_htsat is None:
             use_fused_htsat = jax.default_backend() == "tpu" and mesh is None
         self.use_fused_htsat = use_fused_htsat
+        # use_fused_vit: models.vit_fused forwards for the MAE encoders —
+        # fused Pallas ViT blocks (ops.pallas_vit; full sequence in VMEM,
+        # query-chunked exact softmax). Measured 2.83x (operaGT, 498 -> 1406
+        # clips/s) and 1.85x (audiomae, 597 -> 1107) vs the bf16-XLA blocks;
+        # feature cosine 0.999997 both (bench/vit_fused_check.py,
+        # RESULTS.md). bf16 only — at f32 (HIGHEST = bf16x6 passes) the
+        # kernel is slower than XLA. None = auto: on for TPU single-chip
+        # bf16 extraction, same gate as use_fused_htsat.
+        if use_fused_vit is None:
+            use_fused_vit = (
+                jax.default_backend() == "tpu"
+                and mesh is None
+                and compute_dtype == jnp.bfloat16
+            )
+        self.use_fused_vit = use_fused_vit and compute_dtype == jnp.bfloat16
         # fast_softmax: opt-in unstabilized in-kernel softmax (skips the
         # rowwise max pass; ~3% faster forward, feature cosine 0.9999988).
         # Safe while attention logits < 88 (f32 exp overflow) — true for
@@ -198,6 +214,23 @@ class FeatureExtractor:
                 else None
             )
 
+            if self.use_fused_vit:
+                from ..models.vit_fused import audiomae_backbone_fused
+
+                cfg = model.config
+
+                @jax.jit
+                def fn(variables, wav, lengths):
+                    wav, lengths = self._prologue(wav, lengths)
+                    fb, nf = dsp.kaldi_fbank_frontend(
+                        wav, lengths, precision=prec
+                    )
+                    return audiomae_backbone_fused(
+                        variables, fb, cfg, mm_dtype=jnp.bfloat16
+                    )
+
+                return fn
+
             @jax.jit
             def fn(variables, wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
@@ -207,6 +240,22 @@ class FeatureExtractor:
             return fn
 
         if self.is_mae:  # operaGT
+
+            if self.use_fused_vit:
+                from ..models.vit_fused import mae_forward_feature_fused
+
+                cfg = model.config
+
+                @jax.jit
+                def fn(variables, wav, lengths):
+                    wav, lengths = self._prologue(wav, lengths)
+                    mel, nf = self._mel(wav, lengths)
+                    mel = mel[:, :256]
+                    return mae_forward_feature_fused(
+                        variables, mel, cfg, mm_dtype=jnp.bfloat16
+                    )
+
+                return fn
 
             @jax.jit
             def fn(variables, wav, lengths):
