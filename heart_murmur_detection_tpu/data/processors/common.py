@@ -52,10 +52,44 @@ def extract_and_save(
 
     wire_format / source_sr: host->device transfer tuning (audio/wire.py,
     ops/resample.py) — e.g. source_sr=4000 ships CirCor at its native rate
-    and upsamples on device (2.5x streaming extraction, RESULTS.md)."""
+    and upsamples on device (2.5x streaming extraction, RESULTS.md).
+
+    Baseline encoders (vggish / clap / clap2023 / hear / opensmile) route to
+    their module extractors and save <name>_feature.npy, matching the
+    reference's dispatch (circor_processing.py:241-258)."""
     from ...extract.extract import FeatureExtractor
 
     sound_dir_loc = np.load(os.path.join(feature_dir, "sound_dir_loc.npy"))
+    if pretrain in ("vggish", "clap", "clap2023", "hear", "opensmile"):
+        paths = [str(f) for f in sound_dir_loc]
+        if pretrain == "vggish":
+            from ...models.vggish import extract_vgg_feature
+
+            feats = extract_vgg_feature(paths, random_init=random_init)
+        elif pretrain in ("clap", "clap2023"):
+            from ...models.clap import extract_clap_feature
+
+            feats = extract_clap_feature(
+                paths,
+                version="2023" if pretrain == "clap2023" else "2022",
+                random_init=random_init,
+            )
+        elif pretrain == "hear":
+            from ...models.hear import extract_hear_feature
+
+            feats = extract_hear_feature(paths, random_init=random_init)
+        else:
+            from ...models.vggish import extract_opensmile_features
+
+            feats = np.stack(
+                [
+                    np.asarray(extract_opensmile_features(p)).reshape(-1)
+                    for p in paths
+                ]
+            )
+        out = os.path.join(feature_dir, pretrain + "_feature.npy")
+        np.save(out, np.asarray(feats))
+        return out
     ex = FeatureExtractor(
         pretrain,
         dim=dim,

@@ -91,6 +91,46 @@ class CLAPAudioEncoder(nn.Module):
         return proj
 
 
+def clap_audio_forward_fused(
+    variables: dict,
+    wav: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: CLAPConfig = CLAPConfig(),
+    *,
+    mm_dtype=jnp.bfloat16,
+    fast_softmax: bool = False,
+) -> jnp.ndarray:
+    """CLAP-2023 projected audio embedding (B, 1024) with the HTS-AT tower
+    running through the fused Pallas swin path (models.htsat_fused). Equals
+    CLAPAudioEncoder.apply(...) eval-mode to the documented extraction
+    precision class (PARITY.md). 2023 only — the 2022 tower is a Cnn14,
+    whose convs XLA already fuses."""
+    assert cfg.version == "2023", "fused path covers the HTS-AT (2023) tower"
+    from .htsat_fused import htsat_apply_fused
+
+    logmel, nf = logmel_frontend_general(
+        wav, lengths, cfg.sample_rate, cfg.mel_bins, cfg.fmin, cfg.fmax,
+        cfg.n_fft, cfg.hop,
+    )
+    sub = {
+        "params": variables["params"]["base"],
+        "batch_stats": variables["batch_stats"]["base"],
+    }
+    emb = htsat_apply_fused(
+        sub, logmel, nf,
+        HTSATConfig(mel_bins=cfg.mel_bins, num_classes=cfg.classes_num),
+        mm_dtype=mm_dtype, fast_softmax=fast_softmax,
+    )
+    p = variables["params"]["projection"]
+    e1 = emb @ p["linear1"]["kernel"]
+    e2 = jax.nn.gelu(e1, approximate=False) @ p["linear2"]["kernel"]
+    h = e1 + e2
+    ln = p["layer_norm"]
+    mu = h.mean(-1, keepdims=True)
+    var = ((h - mu) ** 2).mean(-1, keepdims=True)
+    return (h - mu) * jax.lax.rsqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+
+
 def load_clap_clip(path: str, duration: float, sr: int = 44100, rng=None):
     """Reference clip policy: tile short clips, random-crop long ones."""
     from ..utils.audio_io import load_wav
@@ -114,8 +154,12 @@ def extract_clap_feature(
     batch_size: int = 16,
     seed: int = 0,
     random_init: bool = False,
+    use_fused: Optional[bool] = None,
 ) -> np.ndarray:
-    """Batched CLAP audio-embedding extraction (extract_feature.py:78-102)."""
+    """Batched CLAP audio-embedding extraction (extract_feature.py:78-102).
+
+    use_fused: run the 2023 HTS-AT tower through the fused Pallas swin
+    kernels (clap_audio_forward_fused). None = auto: on for TPU + 2023."""
     cfg = CLAPConfig(version=version)
     model = CLAPAudioEncoder(cfg)
     n = int(cfg.duration * cfg.sample_rate)
@@ -131,13 +175,21 @@ def extract_clap_feature(
             variables = model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, n)), jnp.full((1,), n, jnp.int32)
             )
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu" and version == "2023"
+    variables = jax.device_put(variables, jax.devices()[0])
 
-    @jax.jit
-    def fn(wav, lengths):
-        return model.apply(variables, wav, lengths)
+    if use_fused:
+        fn = jax.jit(
+            lambda v, wav, lengths: clap_audio_forward_fused(v, wav, lengths, cfg)
+        )
+    else:
+        fn = jax.jit(lambda v, wav, lengths: model.apply(v, wav, lengths))
 
     rng = np.random.default_rng(seed)
-    out = []
+    out = []  # device arrays; sync once at the end so host decode of the
+    # next batch overlaps device compute (async dispatch)
+    counts = []
     paths = list(sound_dir_loc)
     for lo in range(0, len(paths), batch_size):
         part = paths[lo : lo + batch_size]
@@ -147,6 +199,8 @@ def extract_clap_feature(
             clips.append(clips[0])
         wav = np.stack(clips)[:, :n]
         lengths = np.full((batch_size,), wav.shape[1], np.int32)
-        f = np.asarray(fn(jnp.asarray(wav), jnp.asarray(lengths)))
-        out.append(f[:k])
-    return np.concatenate(out, axis=0)
+        out.append(fn(variables, jnp.asarray(wav), jnp.asarray(lengths)))
+        counts.append(k)
+    return np.concatenate(
+        [np.asarray(o)[:k] for o, k in zip(out, counts)], axis=0
+    )

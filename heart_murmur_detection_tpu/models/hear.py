@@ -75,9 +75,15 @@ def extract_hear_feature(
     input_sec: float = 2.0,
     batch_size: int = 16,
     random_init: bool = False,
+    use_fused: bool = None,
 ) -> np.ndarray:
     """Pad/trim to 2 s, encode, return 512-d embeddings
-    (extract_feature.py:174-210)."""
+    (extract_feature.py:174-210).
+
+    use_fused: route the 24 ViT-L blocks through the fused Pallas kernels
+    (models.vit_fused.hear_forward_fused, bf16 matmuls / f32 accumulation —
+    the documented extraction precision class, PARITY.md). None = auto: on
+    for TPU."""
     from ..utils.audio_io import load_wav
 
     model = HeAREncoder()
@@ -87,13 +93,23 @@ def extract_hear_feature(
             raise FileNotFoundError("HeAR weights not available; pass variables=")
         with jax.default_device(jax.devices("cpu")[0]):
             variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, n)))
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    variables = jax.device_put(variables, jax.devices()[0])
 
-    @jax.jit
-    def fn(wav):
-        return model.apply(variables, wav)["pooled"]
+    if use_fused:
+        from .vit_fused import hear_forward_fused
+
+        fn = jax.jit(
+            lambda v, wav: hear_forward_fused(v, wav, model.config)
+        )
+    else:
+        fn = jax.jit(lambda v, wav: model.apply(v, wav)["pooled"])
 
     paths = list(sound_dir_loc)
-    out = []
+    out = []  # device arrays; no per-batch sync, so host decode of batch
+    # i+1 overlaps device compute of batch i (async dispatch)
+    counts = []
     for lo in range(0, len(paths), batch_size):
         part = paths[lo : lo + batch_size]
         clips = []
@@ -104,5 +120,8 @@ def extract_hear_feature(
         k = len(clips)
         while len(clips) < batch_size:
             clips.append(clips[0])
-        out.append(np.asarray(fn(jnp.asarray(np.stack(clips))))[:k])
-    return np.concatenate(out, axis=0)
+        out.append(fn(variables, jnp.asarray(np.stack(clips))))
+        counts.append(k)
+    return np.concatenate(
+        [np.asarray(o)[:k] for o, k in zip(out, counts)], axis=0
+    )

@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..audio.dsp import resize_bicubic_time
-from ..ops.pallas_swin import fused_swin_block, fused_swin_pair, pair_plan
+from ..ops.pallas_swin import (
+    fused_swin_block,
+    fused_swin_block_split,
+    fused_swin_pair,
+    pair_plan,
+)
 from .htsat import HTSATConfig, _relative_position_index, _shift_attn_mask
 
 HI = jax.lax.Precision.HIGHEST
@@ -79,14 +84,17 @@ def htsat_apply_fused(
     use_pair: bool = True,
     fast_softmax: bool = False,
     act_dtype=None,
+    use_split: bool = True,
 ) -> jnp.ndarray:
     """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
 
     max_fused_dim: widest stage routed through the fused Pallas kernel.
     None = auto: 384 for bfloat16 matmuls (fused wins every VMEM-feasible
     stage), 192 for f32 (the C=384 stage is faster in XLA at f32 —
-    measured, RESULTS.md round-2 table). Stage 4 (C=768) always uses the
-    inline jnp block: its weights alone exceed the 16MB scoped-VMEM limit.
+    measured, RESULTS.md round-2 table). Stages past max_fused_dim (C=768,
+    whose whole-block weights exceed the 16MB scoped-VMEM limit) run the
+    split (attn, MLP) kernel pair under the bf16 flow when use_split, else
+    the inline jnp block.
 
     use_pair: fuse (regular, shifted) block pairs — including both cyclic
     rolls — into one kernel when VMEM permits (ops.pallas_swin.pair_plan),
@@ -162,6 +170,16 @@ def htsat_apply_fused(
             return table[rel_idx].reshape(N, N, heads).transpose(2, 0, 1)
 
         fuse_ok = dim <= max_fused_dim and window == cfg.window_size
+        # VMEM-oversized stages (C=768): split (attn, MLP) kernel pair under
+        # the bf16 flow — each half's weights fit where the full block's
+        # don't. At f32 the wide stage is faster in XLA (same measurement
+        # that set max_fused_dim), so keep the jnp fallback there.
+        split_ok = (
+            use_split
+            and not fuse_ok
+            and window == cfg.window_size
+            and act_dtype == jnp.bfloat16
+        )
         hidden = int(4 * dim)
         b = 0
         while b < depth:
@@ -189,13 +207,14 @@ def htsat_apply_fused(
             mask = (
                 jnp.asarray(_shift_attn_mask(H, W, window, shift)) if shift else None
             )
-            if fuse_ok:
+            if fuse_ok or split_ok:
                 xs = x.reshape(B, H, W, dim)
                 if shift:
                     # H-axis roll only; the W roll happens in VMEM inside
                     # the kernel (roll_w), halving the rolls' HBM traffic
                     xs = jnp.roll(xs, -shift, axis=1)
-                xs = fused_swin_block(
+                block_fn = fused_swin_block if fuse_ok else fused_swin_block_split
+                xs = block_fn(
                     xs, p, bias, mask, window=window, num_heads=heads,
                     mm_dtype=mm_dtype, roll_w=shift, fast_softmax=fast_softmax,
                 )
@@ -216,7 +235,9 @@ def htsat_apply_fused(
                 axis=-1,
             ).reshape(B, -1, 4 * dim)
             m = _ln(xs, pm["norm"])
-            if act_dtype == jnp.bfloat16 and dim * 2 <= max_fused_dim:
+            if act_dtype == jnp.bfloat16:
+                # every stage is a kernel under the bf16 flow now (wide
+                # stages via the split pair), so keep the bf16 hand-off
                 x = jnp.matmul(
                     m.astype(act_dtype),
                     pm["reduction"]["kernel"].astype(act_dtype),

@@ -112,9 +112,12 @@ def extract_vgg_feature(
         with jax.default_device(jax.devices("cpu")[0]):
             variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64)))
 
-    @jax.jit
-    def fn(x):
-        return model.apply(variables, x)
+    # params as a jit ARGUMENT, not a closure: closed-over trees are embedded
+    # in the serialized HLO, and VGGish's ~289 MB exceeds this environment's
+    # remote-compile request limit (same fix as the audiomae extraction
+    # graph, RESULTS.md zoo-throughput notes)
+    variables = jax.device_put(variables, jax.devices()[0])
+    fn = jax.jit(lambda v, x: model.apply(v, x))
 
     out = []
     for p in sound_dir_loc:
@@ -127,7 +130,7 @@ def extract_vgg_feature(
         exp = np.concatenate([ex, np.zeros((pad, 96, 64), np.float32)]) if pad else ex
         embs = []
         for lo in range(0, len(exp), batch_size):
-            embs.append(np.asarray(fn(jnp.asarray(exp[lo : lo + batch_size]))))
+            embs.append(np.asarray(fn(variables, jnp.asarray(exp[lo : lo + batch_size]))))
         embs = np.concatenate(embs)[: len(ex)]
         out.append(embs.mean(axis=0))
     return np.stack(out)

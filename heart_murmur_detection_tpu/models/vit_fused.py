@@ -66,23 +66,31 @@ def _patch_embed(x, kernel, bias, patch: int, act_dtype):
 def _encode(h, params, cfg: MAEConfig, mm_dtype, q_chunk: int,
             interpret: bool = False):
     """Shared block stack: pad tokens, run depth fused blocks, unpad."""
+    return _encode_blocks(
+        h, params, cfg.depth, cfg.num_heads, cfg.mlp_ratio, mm_dtype,
+        q_chunk, interpret=interpret,
+    )
+
+
+def _encode_blocks(h, params, depth: int, num_heads: int, mlp_ratio: float,
+                   mm_dtype, q_chunk: int, interpret: bool = False):
     h, n_real = pad_tokens(h, 16)
     Np, C = h.shape[1], h.shape[2]
-    hidden = int(C * cfg.mlp_ratio)
+    hidden = int(C * mlp_ratio)
     act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
     h = h.astype(act_dtype)
-    whole = block_plan(Np, C, hidden, cfg.num_heads, mm_dtype, act_dtype,
+    whole = block_plan(Np, C, hidden, num_heads, mm_dtype, act_dtype,
                        q_chunk=q_chunk)
-    for i in range(cfg.depth):
+    for i in range(depth):
         p = params[f"blocks_{i}"]
         if whole is not None:
             h = fused_vit_block(
-                h, p, n_real, num_heads=cfg.num_heads, q_chunk=q_chunk,
+                h, p, n_real, num_heads=num_heads, q_chunk=q_chunk,
                 mm_dtype=mm_dtype, interpret=interpret,
             )
         else:
             h = fused_vit_attn(
-                h, p, n_real, num_heads=cfg.num_heads, q_chunk=q_chunk,
+                h, p, n_real, num_heads=num_heads, q_chunk=q_chunk,
                 mm_dtype=mm_dtype, interpret=interpret,
             )
             h = fused_vit_mlp(h, p, mm_dtype=mm_dtype, interpret=interpret)
@@ -146,3 +154,44 @@ def audiomae_backbone_fused(
     )
     h = _encode(h, params, cfg, mm_dtype, q_chunk, interpret=interpret)
     return _ln(h[:, 1:].mean(axis=1), params["fc_norm"])
+
+
+def hear_forward_fused(
+    variables: dict,
+    audio: jnp.ndarray,
+    cfg=None,
+    *,
+    mm_dtype=jnp.bfloat16,
+    q_chunk: int = 128,
+    interpret: bool = False,
+    from_spectrogram: bool = False,
+) -> jnp.ndarray:
+    """HeAR pooled embedding: waveform (B, <=32000) -> (B, 512). Equals
+    models.hear.HeAREncoder.apply(...)["pooled"] (ViT-L/16 over 192x128
+    mel-PCEN; reference finetuning.py:1081-1104, extract_feature.py:174-210).
+
+    ViT-L blocks always take the split (attn, MLP) kernel pair — one block's
+    weights are ~25 MB bf16, past the whole-block plan. HF-ViT differences vs
+    the MAE forwards: learnable (not sincos) position embeddings added to the
+    cls+patch stack, and CLS-token pooling through a linear pooler. LN before
+    pooling is per-token, so norm(h)[:, 0] == norm(h[:, 0])."""
+    from ..audio.hear_frontend import hear_preprocess
+    from .hear import HeARConfig
+
+    cfg = cfg or HeARConfig()
+    params = variables["params"]
+    act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
+    x = audio if from_spectrogram else hear_preprocess(audio)
+    pe = params["patch_embed_proj"]
+    h = _patch_embed(x, pe["kernel"], pe["bias"], cfg.patch_size, act_dtype)
+    cls = params["cls_token"]
+    h = jnp.concatenate(
+        [jnp.broadcast_to(cls, (h.shape[0], 1, h.shape[2])), h], axis=1
+    ) + params["pos_embed"]
+    h = _encode_blocks(
+        h, params, cfg.depth, cfg.heads, cfg.mlp_ratio, mm_dtype, q_chunk,
+        interpret=interpret,
+    )
+    cls_out = _ln(h[:, 0], params["norm"])
+    p = params["pooler"]
+    return cls_out @ p["kernel"] + p["bias"]

@@ -79,6 +79,24 @@ def _strip_block(
     bf16 — halving VMEM liveness and VPU copy bytes — while LN stats,
     softmax and gelu still compute in f32.
     """
+    h1 = _strip_attn(
+        x, mask, bias, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
+        win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+        fast_softmax=fast_softmax, pack2=pack2,
+    )
+    return _strip_mlp(
+        h1, ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2, mm_dtype=mm_dtype
+    )
+
+
+def _strip_attn(
+    x, mask, bias, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
+    *, win: int, heads: int, hdp: int, mm_dtype, fast_softmax: bool = False,
+    pack2=None,
+):
+    """Attention half of _strip_block: window partition -> LN1 -> qkv ->
+    head-batched windowed attention (+bias/mask) -> proj -> +x -> window
+    reverse. Returns (bb, win, cw, C) in x.dtype."""
     bb, _, cw, C = x.shape
     act_dtype = x.dtype
     hd = C // heads
@@ -186,7 +204,20 @@ def _strip_block(
     ).reshape(nw, N, C)
 
     h1 = (xw.astype(jnp.float32) + o).astype(act_dtype)
-    m = _ln(h1, ln2_s, ln2_b).reshape(nw * N, C)
+    return h1.reshape(bb, tw, win, win, C).transpose(0, 2, 1, 3, 4).reshape(
+        bb, win, cw, C
+    )
+
+
+def _strip_mlp(x, ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2, *, mm_dtype):
+    """MLP half of _strip_block (per-token, so no window partition):
+    LN2 -> fc1 -> gelu -> fc2 -> +x on (bb, win, cw, C) values."""
+    bb, win_, cw, C = x.shape
+    act_dtype = x.dtype
+    n = bb * win_ * cw
+    mm = lambda a: a.astype(mm_dtype)
+    prec = HI if mm_dtype == jnp.float32 else None
+    m = _ln(x, ln2_s, ln2_b).reshape(n, C)
     m = (
         jnp.dot(mm(m), mm(w_fc1), precision=prec,
                 preferred_element_type=jnp.float32)
@@ -197,11 +228,8 @@ def _strip_block(
         jnp.dot(mm(m), mm(w_fc2), precision=prec,
                 preferred_element_type=jnp.float32)
         + b_fc2
-    ).reshape(nw, N, C)
-    out = h1.astype(jnp.float32) + m
-    return out.astype(act_dtype).reshape(bb, tw, win, win, C).transpose(
-        0, 2, 1, 3, 4
-    ).reshape(bb, win, cw, C)
+    ).reshape(bb, win_, cw, C)
+    return (x.astype(jnp.float32) + m).astype(act_dtype)
 
 
 def _kernel(
@@ -377,6 +405,148 @@ def fused_swin_block(
         ),
         interpret=interpret,
     )(*args)
+
+
+def _attn_half_kernel(
+    x_ref, mask_ref,
+    w_qkv, b_qkv, w_proj, b_proj, bias_ref, ln1_s, ln1_b,
+    out_ref,
+    *, bb: int, tw: int, win: int, heads: int, use_mask: bool,
+    hdp: int, mm_dtype, roll_w: int, fast_softmax: bool = False, pack2=None,
+):
+    x = x_ref[:]
+    if roll_w:
+        x = jnp.concatenate([x[:, :, roll_w:], x[:, :, :roll_w]], axis=2)
+    mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
+    out = _strip_attn(
+        x, mask, bias_ref[:],
+        w_qkv[:], b_qkv[0], w_proj[:], b_proj[0], ln1_s[0], ln1_b[0],
+        win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+        fast_softmax=fast_softmax, pack2=pack2,
+    )
+    if roll_w:
+        # un-rolling between the halves is exact: the MLP half is per-token,
+        # so it commutes with the spatial cyclic shift
+        out = jnp.concatenate([out[:, :, -roll_w:], out[:, :, :-roll_w]], axis=2)
+    out_ref[:] = out
+
+
+def _mlp_half_kernel(x_ref, ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2, out_ref,
+                     *, mm_dtype):
+    out_ref[:] = _strip_mlp(
+        x_ref[:], ln2_s[0], ln2_b[0], w_fc1[:], b_fc1[0], w_fc2[:], b_fc2[0],
+        mm_dtype=mm_dtype,
+    )
+
+
+def fused_swin_block_split(
+    x: jnp.ndarray,
+    params: dict,
+    bias: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    window: int = 8,
+    num_heads: int,
+    tw: Optional[int] = None,
+    interpret: bool = False,
+    pad_head_dim: bool = True,
+    mm_dtype=jnp.float32,
+    roll_w: int = 0,
+    fast_softmax: bool = False,
+    pack2=None,
+) -> jnp.ndarray:
+    """One swin block as a split (attention, MLP) kernel pair — for stages
+    whose full-block weights exceed the VMEM budget (HTS-AT stage 4, C=768:
+    qkv+proj ~4.7+1.6 MB bf16, fc1+fc2 ~9.4 MB — together past the 13 MB
+    model that sizes fused_swin_block's bb). Two reads + two writes of x per
+    block instead of one — still ~4x fewer HBM passes than the XLA block.
+    Same contract and numerics as fused_swin_block (it runs the same
+    _strip_attn/_strip_mlp bodies)."""
+    B, H, W, C = x.shape
+    win = window
+    nwh, nww = H // win, W // win
+    if tw is None:
+        tw = min(nww, 8)
+    assert nww % tw == 0
+    if roll_w:
+        assert tw == nww, "in-kernel W roll needs the full width per instance"
+    N = win * win
+    hd = C // num_heads
+    hdp = ((hd + 31) // 32) * 32 if pad_head_dim else hd
+    Cp = num_heads * hdp
+    hidden = params["mlp"]["fc1"]["kernel"].shape[1]
+    wbytes = 2 if mm_dtype == jnp.bfloat16 else 4
+    abytes = jnp.dtype(x.dtype).itemsize
+
+    weights = _prep_weights(params, C, num_heads, hdp, bias, wdtype=mm_dtype)
+    w_attn = weights[:4] + (weights[4], weights[5], weights[6])
+    w_mlp = weights[7:]
+
+    def _bb(wb, act_row):
+        io_row = 4 * tw * N * C * abytes
+        b = ((13 << 20) - wb) // max(act_row + io_row, 1)
+        b = max(1, min(B, b))
+        while B % b:
+            b -= 1
+        return b
+
+    attn_wbytes = (C * 3 * Cp + Cp * C) * wbytes
+    attn_act_row = tw * N * (
+        (9 * C + 4 * Cp) * abytes + num_heads * N * 4
+    )
+    bb_a = _bb(attn_wbytes, attn_act_row)
+    mlp_wbytes = 2 * C * hidden * wbytes
+    mlp_act_row = tw * N * ((6 * C + hidden) * abytes + hidden * 4)
+    bb_m = _bb(mlp_wbytes, mlp_act_row)
+
+    use_mask = mask is not None
+    if mask is None:
+        mask_arr = jnp.zeros((nwh, nww // tw, tw, N, N), jnp.float32)
+    else:
+        mask_arr = mask.reshape(nwh, nww // tw, tw, N, N)
+
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b, i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    xspec = lambda b: pl.BlockSpec(
+        (b, win, win * tw, C), lambda bi, i, j: (bi, i, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    h1 = pl.pallas_call(
+        functools.partial(
+            _attn_half_kernel, bb=bb_a, tw=tw, win=win, heads=num_heads,
+            use_mask=use_mask, hdp=hdp, mm_dtype=mm_dtype, roll_w=roll_w,
+            fast_softmax=fast_softmax, pack2=pack2,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=(B // bb_a, nwh, nww // tw),
+        in_specs=[
+            xspec(bb_a),
+            pl.BlockSpec((1, 1, tw, N, N), lambda b, i, j: (i, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((C, 3 * Cp)), full((1, 3 * Cp)),
+            full((Cp, C)), full((1, C)),
+            full((num_heads, N, N)),
+            full((1, C)), full((1, C)),
+        ],
+        out_specs=xspec(bb_a),
+        interpret=interpret,
+    )(x, mask_arr, *w_attn[:4], w_attn[4], w_attn[5], w_attn[6])
+
+    return pl.pallas_call(
+        functools.partial(_mlp_half_kernel, mm_dtype=mm_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
+        grid=(B // bb_m, nwh, nww // tw),
+        in_specs=[
+            xspec(bb_m),
+            full((1, C)), full((1, C)),
+            full((C, hidden)), full((1, hidden)),
+            full((hidden, C)), full((1, C)),
+        ],
+        out_specs=xspec(bb_m),
+        interpret=interpret,
+    )(h1, *w_mlp)
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,23 @@ class TestExtractorPaths:
         f_all = ex.extract_files(wav_dir)
         f_single = ex.extract_files(wav_dir[:1])
         np.testing.assert_allclose(f_all[0], f_single[0], atol=1e-4)
+
+
+class TestBaselineRouting:
+    def test_extract_and_save_vggish(self, wav_dir, tmp_path):
+        """extract_and_save routes baseline names to the module extractors
+        and saves <name>_feature.npy (circor_processing.py:241-258)."""
+        from heart_murmur_detection_tpu.data.processors.common import (
+            extract_and_save,
+        )
+
+        fdir = str(tmp_path / "task_eval")
+        import os
+
+        os.makedirs(fdir)
+        np.save(os.path.join(fdir, "sound_dir_loc.npy"), np.array(wav_dir))
+        out = extract_and_save(fdir, "vggish", random_init=True)
+        assert out.endswith("vggish_feature.npy")
+        feats = np.load(out)
+        assert feats.shape == (len(wav_dir), 128)
+        assert np.isfinite(feats).all()

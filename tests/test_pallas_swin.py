@@ -349,3 +349,38 @@ class TestFusedHTSAT:
             )
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(got_nopair, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("C,res,heads,shift", [(768, (8, 8), 32, 0), (96, (16, 16), 4, 4)])
+def test_split_block_matches_flax(C, res, heads, shift):
+    """fused_swin_block_split (attn, MLP kernel pair for VMEM-oversized
+    stages) == flax SwinBlock, incl. the stage-4 geometry it exists for
+    (C=768, one 8x8 window) and a shifted strip with the in-kernel W roll."""
+    from heart_murmur_detection_tpu.ops.pallas_swin import fused_swin_block_split
+
+    H, W = res
+    blk = SwinBlock(
+        dim=C, input_resolution=res, num_heads=heads, window=8, shift=shift,
+        mlp_ratio=4.0, qkv_bias=True, drop=0.0, attn_drop=0.0, drop_path=0.0,
+    )
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.standard_normal((2, H * W, C)) * 0.5, jnp.float32)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(blk.apply(v, x))
+
+    p = v["params"]
+    table = np.asarray(p["attn"]["relative_position_bias_table"])
+    rel_idx = _relative_position_index(8, 8).reshape(-1)
+    bias = jnp.asarray(table[rel_idx].reshape(64, 64, heads).transpose(2, 0, 1))
+    mask = jnp.asarray(_shift_attn_mask(H, W, 8, shift)) if shift else None
+
+    xs = x.reshape(2, H, W, C)
+    if shift:
+        xs = jnp.roll(xs, -shift, axis=1)  # H roll outside, W roll in-kernel
+    out = fused_swin_block_split(
+        xs, p, bias, mask, num_heads=heads, interpret=True, roll_w=shift
+    )
+    if shift:
+        out = jnp.roll(out, shift, axis=1)
+    got = np.asarray(out).reshape(2, H * W, C)
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
