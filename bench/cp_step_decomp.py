@@ -118,11 +118,50 @@ def full_step(params, batch_stats, opt_state, x1, x2, rng):
     )
 
 
-t_f = timeit("2-view forward", fwd2, params, batch_stats, x1, x2)
-t_fl = timeit("2-view forward + cola loss", fwd_loss, params, batch_stats, x1, x2)
-t_g = timeit("fwd+bwd (value_and_grad)", grad_step, params, batch_stats, x1, x2, key)
-t_s = timeit("full step (+Adam)", full_step, params, batch_stats, opt_state, x1, x2, key)
-print(
-    f"\nloss overhead {t_fl - t_f:.1f} ms, backward {t_g - t_fl:.1f} ms "
-    f"({(t_g - t_fl) / max(t_f, 1e-9):.2f}x fwd), optimizer {t_s - t_g:.1f} ms"
-)
+if os.environ.get("FUSED"):
+    # fused training-path kernels (ops/pallas_swin_train via
+    # models/htsat_train_fused.cola_train_apply) — same step semantics
+    from heart_murmur_detection_tpu.models.htsat_train_fused import cola_train_apply
+
+    mm = jnp.bfloat16 if DTYPE == "bf16" else jnp.float32
+
+    @jax.jit
+    def fused_fwd(params, batch_stats, x1, x2, rng):
+        (z1, z2), _ = cola_train_apply(
+            {"params": params, "batch_stats": batch_stats}, (x1, x2), rng,
+            p_drop=0.1, cfg=cfg, mm_dtype=mm,
+        )
+        return z1.sum() + z2.sum()
+
+    @jax.jit
+    def fused_full_step(params, batch_stats, opt_state, x1, x2, rng):
+        def loss_fn(p):
+            (z1, z2), new_bs = cola_train_apply(
+                {"params": p, "batch_stats": batch_stats}, (x1, x2), rng,
+                p_drop=0.1, cfg=cfg, mm_dtype=mm,
+            )
+            loss, acc = cola_loss(z1, z2)
+            return loss, (acc, new_bs)
+
+        (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return loss + jax.tree.reduce(
+            lambda a, g: a + g.sum().astype(jnp.float32),
+            (new_params, new_bs),
+            jnp.float32(0),
+        )
+
+    t_ff = timeit("FUSED 2-view forward", fused_fwd, params, batch_stats, x1, x2, key)
+    t_fs = timeit("FUSED full step (+Adam)", fused_full_step, params, batch_stats,
+                  opt_state, x1, x2, key)
+    print(f"\nfused backward+opt {t_fs - t_ff:.1f} ms ({(t_fs - t_ff) / max(t_ff, 1e-9):.2f}x fwd)")
+else:
+    t_f = timeit("2-view forward", fwd2, params, batch_stats, x1, x2)
+    t_fl = timeit("2-view forward + cola loss", fwd_loss, params, batch_stats, x1, x2)
+    t_g = timeit("fwd+bwd (value_and_grad)", grad_step, params, batch_stats, x1, x2, key)
+    t_s = timeit("full step (+Adam)", full_step, params, batch_stats, opt_state, x1, x2, key)
+    print(
+        f"\nloss overhead {t_fl - t_f:.1f} ms, backward {t_g - t_fl:.1f} ms "
+        f"({(t_g - t_fl) / max(t_f, 1e-9):.2f}x fwd), optimizer {t_s - t_g:.1f} ms"
+    )

@@ -61,6 +61,7 @@ def train_multiple_data(
     htsat_config=None,
     resume: bool = False,
     compute_dtype=None,
+    fused_train=None,
 ):
     # compute_dtype=jnp.bfloat16 -> mixed-precision encoder compute (bf16
     # matmuls/convs, f32 norms/softmax/residual carries; f32 params +
@@ -114,18 +115,48 @@ def train_multiple_data(
 
     from ..models.cola import cola_loss
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, x1, x2, rng):
-        def loss_fn(p):
+    # fused_train: run the encoder fwd+bwd through the custom-VJP Pallas
+    # train kernels (models/htsat_train_fused, ops/pallas_swin_train) —
+    # ~2.7x the XLA step at B=64 (RESULTS.md "CP training-path kernels").
+    # Auto (None): on for the single-chip htsat TPU path (Pallas under a
+    # sharded jit needs shard_map; the mesh path stays XLA), off elsewhere.
+    if fused_train is None:
+        fused_train = (
+            encoder == "htsat"
+            and mesh is None
+            and jax.default_backend() == "tpu"
+        )
+    if fused_train:
+        from ..models.htsat import HTSATConfig
+        from ..models.htsat_train_fused import cola_train_apply
+
+        hcfg = htsat_config if htsat_config is not None else HTSATConfig()
+        mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+
+        def apply_pair(p, bstats, pair, rng):
+            return cola_train_apply(
+                {"params": p, "batch_stats": bstats}, pair, rng,
+                p_drop=model.config.p, cfg=hcfg, mm_dtype=mm,
+            )
+
+    else:
+
+        def apply_pair(p, bstats, pair, rng):
             (z1, z2), new_state = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                (x1, x2),
+                {"params": p, "batch_stats": bstats},
+                pair,
                 train=True,
                 rngs={"dropout": rng},
                 mutable=["batch_stats"],
             )
+            return (z1, z2), new_state["batch_stats"]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, x1, x2, rng):
+        def loss_fn(p):
+            (z1, z2), new_bs = apply_pair(p, batch_stats, (x1, x2), rng)
             loss, acc = cola_loss(z1, z2)
-            return loss, (acc, new_state["batch_stats"])
+            return loss, (acc, new_bs)
 
         (loss, (acc, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
