@@ -117,13 +117,20 @@ def train_multiple_data(
 
     # fused_train: run the encoder fwd+bwd through the custom-VJP Pallas
     # train kernels (models/htsat_train_fused, ops/pallas_swin_train) —
-    # ~2.7x the XLA step at B=64 (RESULTS.md "CP training-path kernels").
-    # Auto (None): on for the single-chip htsat TPU path (Pallas under a
-    # sharded jit needs shard_map; the mesh path stays XLA), off elsewhere.
+    # 1.85x the bf16 XLA step at B=64 (RESULTS.md "CP training-path
+    # kernels"). Auto (None): on for the single-chip htsat TPU path at
+    # bf16 (at f32 the step win is ~4% against minutes of extra kernel
+    # compile; Pallas under a sharded jit needs shard_map, so the mesh
+    # path stays XLA), off elsewhere.
+    _bf16_path = compute_dtype == jnp.bfloat16 or (
+        htsat_config is not None
+        and getattr(htsat_config, "compute_dtype", None) == jnp.bfloat16
+    )
     if fused_train is None:
         fused_train = (
             encoder == "htsat"
             and mesh is None
+            and _bf16_path
             and jax.default_backend() == "tpu"
         )
     if fused_train:
@@ -131,12 +138,15 @@ def train_multiple_data(
         from ..models.htsat_train_fused import cola_train_apply
 
         hcfg = htsat_config if htsat_config is not None else HTSATConfig()
-        mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+        mm = jnp.bfloat16 if _bf16_path else jnp.float32
+        # explicit fused_train=True off-TPU -> interpret mode (CPU tests)
+        interp = jax.default_backend() != "tpu"
 
         def apply_pair(p, bstats, pair, rng):
             return cola_train_apply(
                 {"params": p, "batch_stats": bstats}, pair, rng,
                 p_drop=model.config.p, cfg=hcfg, mm_dtype=mm,
+                interpret=interp,
             )
 
     else:

@@ -163,6 +163,7 @@ def finetune_classifier(
     compute_dtype=None,
     mesh=None,
     param_sharding: Optional[str] = None,
+    fused_train=None,
 ) -> FTResult:
     # mesh: data-parallel fine-tuning over a jax.sharding.Mesh with a 'data'
     # axis. The cached spectrograms are replicated (they are small — the
@@ -258,25 +259,78 @@ def finetune_classifier(
 
     has_bn = bool(jax.tree.leaves(batch_stats))
 
-    def loss_fn(params, batch_stats, xb, yb, valid, rng):
-        vars_in = {"params": params}
-        if has_bn:
-            vars_in["batch_stats"] = batch_stats
-        out = model.apply(
-            vars_in,
-            xb,
-            train=True,
-            rngs={"dropout": rng},
-            mutable=["batch_stats"] if has_bn else False,
+    # fused_train: htsat encoder fwd+bwd through the custom-VJP Pallas train
+    # kernels (models/htsat_train_fused) — the FT graph is the CP encoder
+    # graph plus a head, so the ~1.85x bf16 step win carries over
+    # (RESULTS.md "CP training-path kernels"). Auto: single-chip htsat TPU
+    # at bf16 only — at f32 the step win is ~4% while the kernel compile
+    # adds minutes, a net loss for short fine-tunes.
+    _bf16_path = compute_dtype == jnp.bfloat16 or (
+        htsat_config is not None and htsat_config.compute_dtype == jnp.bfloat16
+    )
+    if fused_train is None:
+        fused_train = (
+            encoder_kind == "htsat"
+            and mesh is None
+            and _bf16_path
+            and jax.default_backend() == "tpu"
         )
-        logits, new_state = out if has_bn else (out, {})
+    else:
+        fused_train = fused_train and encoder_kind == "htsat" and mesh is None
+    if fused_train:
+        import dataclasses as _dc
+
+        from ..models.htsat_train_fused import htsat_encode_train
+
+        _hc = htsat_config or HTSATConfig()
+        if compute_dtype is not None and _hc.compute_dtype is None:
+            _hc = _dc.replace(_hc, compute_dtype=compute_dtype)
+        _mm = jnp.bfloat16 if _hc.compute_dtype == jnp.bfloat16 else jnp.float32
+        # explicit fused_train=True off-TPU runs the kernels in interpret
+        # mode (CPU test coverage; Pallas needs a TPU backend otherwise)
+        _interp = jax.default_backend() != "tpu"
+
+        def _head_apply(hp, h):
+            if head == "linear":
+                return h @ hp["fc"]["kernel"] + hp["fc"]["bias"]
+            h = jax.nn.relu(h @ hp["fc1"]["kernel"] + hp["fc1"]["bias"])
+            return h @ hp["fc2"]["kernel"] + hp["fc2"]["bias"]
+
+        def apply_train(params, batch_stats, xb, rng):
+            latent, new_bn = htsat_encode_train(
+                {
+                    "params": params["encoder"],
+                    "batch_stats": batch_stats["encoder"],
+                },
+                xb, rng, cfg=_hc, mm_dtype=_mm, interpret=_interp,
+            )
+            return _head_apply(params["head"], latent), {"encoder": new_bn}
+
+    else:
+
+        def apply_train(params, batch_stats, xb, rng):
+            vars_in = {"params": params}
+            if has_bn:
+                vars_in["batch_stats"] = batch_stats
+            out = model.apply(
+                vars_in,
+                xb,
+                train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if has_bn else False,
+            )
+            logits, new_state = out if has_bn else (out, {})
+            return logits, new_state.get("batch_stats", batch_stats) if has_bn else {}
+
+    def loss_fn(params, batch_stats, xb, yb, valid, rng):
+        logits, new_bs = apply_train(params, batch_stats, xb, rng)
         logits = logits + 1e-10
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
         w = cw[yb] * valid
         loss = (ce * w).sum() / jnp.maximum(w.sum(), 1e-12)
         loss = loss + l2_strength * _tree_l2(params["head"])
         loss = loss + 0.2 * l2_strength * _tree_l2(params["encoder"])
-        return loss, new_state.get("batch_stats", batch_stats)
+        return loss, new_bs
 
     # NOTE: no buffer donation here — the early-stopping logic snapshots
     # `best = (params, batch_stats)` across epochs, which would alias
@@ -461,6 +515,7 @@ def finetune_heart(
     compute_dtype=None,
     mesh=None,
     param_sharding: Optional[str] = None,
+    fused_train=None,
 ) -> FTResult:
     y_label = np.load(os.path.join(feature_dir, labels_filename))
     y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
@@ -571,6 +626,7 @@ def finetune_heart(
         compute_dtype=compute_dtype,
         mesh=mesh,
         param_sharding=param_sharding,
+        fused_train=fused_train,
     )
     # save the best checkpoint with the reference filename convention and log
     ck_dir = (

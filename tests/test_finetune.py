@@ -131,3 +131,49 @@ class TestFinetuneClassifier:
             seed=0,
         )
         assert res.stopped_epoch < 63
+
+
+class TestFusedTrainPath:
+    def test_htsat_ft_fused_train_learns(self):
+        """fused_train=True routes the encoder fwd+bwd through the custom-VJP
+        Pallas train kernels (interpret mode off-TPU) and still learns."""
+        x, y = synth_clf_data(48, 32, 16)
+        res = finetune_classifier(
+            x[:32], y[:32], x[32:40], y[32:40], x[40:], y[40:],
+            encoder_kind="htsat",
+            htsat_config=TINY_HTSAT,
+            n_cls=2,
+            feat_dim=128,
+            lr=1e-3,
+            epochs=3,
+            batch_size=8,
+            seed=0,
+            fused_train=True,
+        )
+        assert np.isfinite(res.test_auc)
+        assert res.test_auc > 0.7
+
+    def test_cola_cp_fused_train_runs(self):
+        from heart_murmur_detection_tpu.pretrain.cola_training import (
+            train_multiple_data,
+        )
+        from heart_murmur_detection_tpu.pretrain.data import Corpus
+
+        r = np.random.default_rng(0)
+        clips = [r.random((40, 16)).astype(np.float32) for _ in range(12)]
+        corpus = Corpus("t", clips[4:], clips[:4], max_len=32)
+        _, hist, _ = train_multiple_data(
+            "fused-cp",
+            data_source={"t": 32},
+            encoder="htsat",
+            htsat_config=TINY_HTSAT,
+            n_epoches=1,
+            batch_size=4,
+            corpora=[corpus],
+            ckpt_root="/tmp/hmdt_fused_cp/cks",
+            log_dir="/tmp/hmdt_fused_cp/logs",
+            verbose=False,
+            fused_train=True,
+        )
+        assert np.isfinite(hist[-1]["train_loss"])
+        assert np.isfinite(hist[-1]["valid_loss"])
