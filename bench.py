@@ -34,8 +34,12 @@ def main():
 
     SR = 16000
     CLIP_SEC = 10.0
-    N_CLIPS = int(os.environ.get("HMDT_BENCH_CLIPS", 256))
-    BATCH = 64
+    N_CLIPS = int(os.environ.get("HMDT_BENCH_CLIPS", 512))
+    # batch 256: throughput/clip keeps improving past 64 (B-sweep, same
+    # process: 64 -> 2456, 128 -> 2901, 256 -> 3123 clips/s in a contended
+    # window) — more windows per kernel instance amortize weight DMAs and
+    # grid overhead. VMEM per instance is unchanged (bb divides B).
+    BATCH = int(os.environ.get("HMDT_BENCH_BATCH", 256))
 
     r = np.random.default_rng(0)
     clips = [

@@ -110,11 +110,21 @@ def _head_unbatch(t, heads):
 
 
 def _attn_scores(xw, mask, bias, w_qkv, b_qkv, ln1_s, ln1_b,
-                 *, heads, hdp, hd, mm_dtype):
+                 *, heads, hdp, hd, mm_dtype, pack2=None):
     """Shared fwd/bwd recompute: window tokens -> (h, xhat1, rstd1, qs, ks,
-    vs, P). Matmul dtype/precision policy matches the eval kernel."""
+    vs, P, packed). Matmul dtype/precision policy matches the eval kernel.
+
+    pack2 (None = auto: C < 128, like the eval kernel): two consecutive
+    64-token windows per attention instance fill all 128 VPU lanes; cross-
+    window logits get -1e9 so their softmax weights are exact zeros — every
+    downstream contraction and the softmax backward stay exact, so packed
+    q/k/v/P reshape back losslessly. When packed, qs/ks/vs/P come back as
+    (heads*nw/2, 2N, ...)."""
     nw, N, C = xw.shape
     Cp = heads * hdp
+    if pack2 is None:
+        pack2 = C < 128
+    pack2 = pack2 and N == 64 and nw % 2 == 0
     mm = lambda a: a.astype(mm_dtype)
     prec = HI if mm_dtype == jnp.float32 else None
     h, xhat1, rstd1 = _ln_fwd(xw, ln1_s, ln1_b)
@@ -126,20 +136,46 @@ def _attn_scores(xw, mask, bias, w_qkv, b_qkv, ln1_s, ln1_b,
     qs = _head_batch(qkv, heads, hdp, 0)
     ks = _head_batch(qkv, heads, hdp, Cp)
     vs = _head_batch(qkv, heads, hdp, 2 * Cp)
+    if pack2:
+        neg = jnp.full((heads, N, N), -1e9, jnp.float32)
+        bd = jnp.concatenate(
+            [
+                jnp.concatenate([bias, neg], axis=2),
+                jnp.concatenate([neg, bias], axis=2),
+            ],
+            axis=1,
+        )
+        qs = qs.reshape(heads * nw // 2, 2 * N, hdp)
+        ks = ks.reshape(heads * nw // 2, 2 * N, hdp)
+        vs = vs.reshape(heads * nw // 2, 2 * N, hdp)
+        bias_add = jnp.repeat(bd, nw // 2, axis=0)
+        if mask is not None:
+            mp = mask.reshape(nw // 2, 2, N, N)
+            m0, m1 = mp[:, 0], mp[:, 1]
+            z = jnp.zeros_like(m0)
+            mask = jnp.concatenate(
+                [
+                    jnp.concatenate([m0, z], axis=2),
+                    jnp.concatenate([z, m1], axis=2),
+                ],
+                axis=1,
+            )
+    else:
+        bias_add = jnp.repeat(bias, nw, axis=0)
     s = jax.lax.dot_general(
         mm(qs * (hd ** -0.5)), mm(ks),
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
     )
-    s = s + jnp.repeat(bias, nw, axis=0)
+    s = s + bias_add
     if mask is not None:
         s = s + jnp.tile(mask, (heads, 1, 1))
     p = jax.nn.softmax(s, axis=-1)
-    return h, xhat1, rstd1, qs, ks, vs, p
+    return h, xhat1, rstd1, qs, ks, vs, p, pack2
 
 
 def _attn_branch(x, mask, bias, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
-                 *, win, heads, hdp, mm_dtype):
+                 *, win, heads, hdp, mm_dtype, pack2=None):
     """Attention branch WITHOUT the residual add: (bb, win, cw, C) -> same."""
     bb, _, cw, C = x.shape
     hd = C // heads
@@ -148,15 +184,17 @@ def _attn_branch(x, mask, bias, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
     prec = HI if mm_dtype == jnp.float32 else None
     xw = _partition(x, win)
     nw, N = xw.shape[0], xw.shape[1]
-    _, _, _, _, _, vs, p = _attn_scores(
+    _, _, _, _, _, vs, p, packed = _attn_scores(
         xw, mask, bias, w_qkv, b_qkv, ln1_s, ln1_b,
-        heads=heads, hdp=hdp, hd=hd, mm_dtype=mm_dtype,
+        heads=heads, hdp=hdp, hd=hd, mm_dtype=mm_dtype, pack2=pack2,
     )
     ost = jax.lax.dot_general(
         mm(p), mm(vs),
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+    if packed:
+        ost = ost.reshape(heads * nw, N, hdp)
     o = _head_unbatch(ost, heads).reshape(nw * N, Cp)
     o = (
         jnp.dot(mm(o), mm(w_proj), precision=prec,
@@ -198,7 +236,7 @@ def _train_fwd_kernel(
     ln1_s, ln1_b, ln2_s, ln2_b,
     w_fc1, b_fc1, w_fc2, b_fc2,
     y_ref, h1_ref,
-    *, bb, tw, win, heads, hdp, use_mask, mm_dtype,
+    *, bb, tw, win, heads, hdp, use_mask, mm_dtype, pack2=None,
 ):
     x = x_ref[:]
     mask = jnp.tile(mask_ref[0, 0], (bb, 1, 1)) if use_mask else None
@@ -207,6 +245,7 @@ def _train_fwd_kernel(
     a = _attn_branch(
         x, mask, bias_ref[:], w_qkv[:], b_qkv[0], w_proj[:], b_proj[0],
         ln1_s[0], ln1_b[0], win=win, heads=heads, hdp=hdp, mm_dtype=mm_dtype,
+        pack2=pack2,
     )
     h1 = (x.astype(jnp.float32) + k1 * a.astype(jnp.float32)).astype(x.dtype)
     m = _mlp_branch(
@@ -282,7 +321,7 @@ def _bwd_attn_kernel(
     x_ref, dh1_ref, k1_ref, mask_ref,
     w_qkv, b_qkv, w_proj, bias_ref, ln1_s, ln1_b,
     dx_ref, d_qkvw, d_qkvb, d_projw, d_projb, d_bias, d_ln1s, d_ln1b,
-    *, bb, tw, win, heads, hdp, use_mask, mm_dtype,
+    *, bb, tw, win, heads, hdp, use_mask, mm_dtype, pack2=None,
 ):
     """h1 = x + k1*attn(x): given dh1 -> dx + weight/bias-grad accumulation."""
     x = x_ref[:]
@@ -298,15 +337,17 @@ def _bwd_attn_kernel(
 
     xw = _partition(x, win)
     nw = xw.shape[0]
-    h, xhat1, rstd1, qs, ks, vs, p = _attn_scores(
+    h, xhat1, rstd1, qs, ks, vs, p, packed = _attn_scores(
         xw, mask, bias_ref[:], w_qkv[:], b_qkv[0], ln1_s[0], ln1_b[0],
-        heads=heads, hdp=hdp, hd=hd, mm_dtype=mm_dtype,
+        heads=heads, hdp=hdp, hd=hd, mm_dtype=mm_dtype, pack2=pack2,
     )
     # recompute pre-proj concat (needed for dWproj)
     ost = jax.lax.dot_general(
         mm(p), mm(vs), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
     )
+    if packed:
+        ost = ost.reshape(heads * nw, N, hdp)
     o_pre = _head_unbatch(ost, heads).reshape(nw * N, Cp)
 
     dw = _partition(k1 * dh1, win).reshape(nw * N, C)  # branch-output grad
@@ -319,6 +360,10 @@ def _bwd_attn_kernel(
         precision=prec, preferred_element_type=jnp.float32,
     ).reshape(nw, N, Cp)
     dost = _head_batch(do, heads, hdp, 0)  # (heads*nw, N, hdp)
+    if packed:
+        # cross-window P entries are exact zeros, so the packed softmax
+        # backward and q/k/v contractions are exact (see _attn_scores)
+        dost = dost.reshape(heads * nw // 2, 2 * N, hdp)
 
     dp = jax.lax.dot_general(
         mm(dost), mm(vs), dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -329,7 +374,14 @@ def _bwd_attn_kernel(
         precision=prec, preferred_element_type=jnp.float32,
     )
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    _acc(d_bias, ds.reshape(heads, nw, N, N).sum(axis=1))
+    if packed:
+        # diagonal blocks via plain slices (a 6-D reshape+slice trips
+        # Mosaic's layout inference: "unsupported shape cast")
+        d00 = ds[:, :N, :N].reshape(heads, nw // 2, N, N)
+        d11 = ds[:, N:, N:].reshape(heads, nw // 2, N, N)
+        _acc(d_bias, d00.sum(axis=1) + d11.sum(axis=1))
+    else:
+        _acc(d_bias, ds.reshape(heads, nw, N, N).sum(axis=1))
     scale = hd ** -0.5
     dq = scale * jax.lax.dot_general(
         mm(ds), mm(ks), dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -339,6 +391,10 @@ def _bwd_attn_kernel(
         mm(ds), mm(qs), dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         precision=prec, preferred_element_type=jnp.float32,
     )
+    if packed:
+        dq = dq.reshape(heads * nw, N, hdp)
+        dk = dk.reshape(heads * nw, N, hdp)
+        dv = dv.reshape(heads * nw, N, hdp)
     dqkv = jnp.concatenate(
         [
             _head_unbatch(dq, heads),
@@ -397,7 +453,7 @@ def _specs(bb, win, tw, N, C, nwh):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_block_train(win, heads, hdp, use_mask, mm_name, interpret):
+def _make_block_train(win, heads, hdp, use_mask, mm_name, interpret, pack2=None):
     """custom_vjp fused train block for a static geometry. mm_name in
     ('float32','bfloat16'). All array args are kernel-layout (padded)."""
     mm_dtype = jnp.float32 if mm_name == "float32" else jnp.bfloat16
@@ -426,7 +482,7 @@ def _make_block_train(win, heads, hdp, use_mask, mm_name, interpret):
         y, h1 = pl.pallas_call(
             functools.partial(
                 _train_fwd_kernel, bb=bb, tw=tw, win=win, heads=heads,
-                hdp=hdp, use_mask=use_mask, mm_dtype=mm_dtype,
+                hdp=hdp, use_mask=use_mask, mm_dtype=mm_dtype, pack2=pack2,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
@@ -507,7 +563,7 @@ def _make_block_train(win, heads, hdp, use_mask, mm_name, interpret):
         outs = pl.pallas_call(
             functools.partial(
                 _bwd_attn_kernel, bb=bb_a, tw=tw, win=win, heads=heads,
-                hdp=hdp, use_mask=use_mask, mm_dtype=mm_dtype,
+                hdp=hdp, use_mask=use_mask, mm_dtype=mm_dtype, pack2=pack2,
             ),
             out_shape=[
                 jax.ShapeDtypeStruct((B, H, W, C), x.dtype),
@@ -559,6 +615,7 @@ def fused_swin_block_train(
     num_heads: int,
     interpret: bool = False,
     mm_dtype=jnp.float32,
+    pack2=None,
 ) -> jnp.ndarray:
     """Differentiable fused swin block on spatial x (B, H, W, C).
 
@@ -586,6 +643,7 @@ def fused_swin_block_train(
     block = _make_block_train(
         win, num_heads, hdp, use_mask,
         "bfloat16" if mm_dtype == jnp.bfloat16 else "float32", interpret,
+        pack2,
     )
     k1v = jnp.broadcast_to(k1.astype(jnp.float32).reshape(B, 1, 1), (B, 1, 128))
     k2v = jnp.broadcast_to(k2.astype(jnp.float32).reshape(B, 1, 1), (B, 1, 128))

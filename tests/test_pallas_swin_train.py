@@ -97,7 +97,8 @@ def test_forward_parity(masked):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-def test_grad_parity(masked):
+@pytest.mark.parametrize("pack2", [False, None])  # None = auto (ON: C<128)
+def test_grad_parity(masked, pack2):
     x, p, bias, mask, k1, k2, window, heads = _setup(masked)
     r = np.random.default_rng(7)
     w_out = jnp.asarray(r.standard_normal(x.shape), jnp.float32)
@@ -105,7 +106,7 @@ def test_grad_parity(masked):
     def loss_fused(x, p, bias):
         y = fused_swin_block_train(
             x, p, bias, mask, k1, k2, window=window, num_heads=heads,
-            interpret=True,
+            interpret=True, pack2=pack2,
         )
         return jnp.vdot(y, w_out)
 
