@@ -136,19 +136,29 @@ def extract_vgg_feature(
     return np.stack(out)
 
 
-def extract_opensmile_features(audio_file: str):
-    """openSMILE emobase functionals (extract_feature.py:19-27) — gated on the
-    optional opensmile package (not re-implementable: 988 hand-crafted
-    features defined by the openSMILE config language)."""
-    try:
-        import opensmile
-    except ImportError as e:
-        raise ImportError(
-            "openSMILE features require the `opensmile` package; "
-            "install it or use a learned encoder instead"
-        ) from e
-    smile = opensmile.Smile(
-        feature_set=opensmile.FeatureSet.emobase,
-        feature_level=opensmile.FeatureLevel.Functionals,
-    )
-    return smile.process_file(audio_file)
+def extract_opensmile_features(audio_file: str, native: bool = None):
+    """openSMILE emobase functionals (extract_feature.py:19-27).
+
+    Uses the optional pip ``opensmile`` package when installed (exact parity
+    with the reference). Otherwise falls back to the first-party 988-d
+    emobase-family implementation in audio/emobase.py — same dimensionality
+    and recipe, NOT bit-identical to openSMILE's C++ DSP (see its docstring;
+    never mix the two inside one probe). ``native=True`` forces the fallback,
+    ``native=False`` requires the pip package."""
+    if not native:
+        try:
+            import opensmile
+
+            smile = opensmile.Smile(
+                feature_set=opensmile.FeatureSet.emobase,
+                feature_level=opensmile.FeatureLevel.Functionals,
+            )
+            return smile.process_file(audio_file)
+        except ImportError:
+            if native is False:
+                raise
+    from ..audio.emobase import emobase_features
+    from ..utils.audio_io import load_wav
+
+    wav, sr = load_wav(audio_file, sr=None)
+    return emobase_features(wav, sr)[None, :]
