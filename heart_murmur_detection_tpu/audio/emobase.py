@@ -166,9 +166,13 @@ def _acf_pitch(frames: np.ndarray, sr: int) -> Tuple[np.ndarray, np.ndarray]:
     e0[e0 <= 0] = 1.0
     acf = acf / e0[:, None]
     # unbiased lag normalization: the zero-padded linear ACF of a periodic
-    # signal tapers as (N-lag)/N, which would depress voicingProb
+    # signal tapers as (N-lag)/N, which would depress voicingProb. The raw
+    # correction flen/(flen-lag) is unbounded near lag=flen and would amplify
+    # noise ~5x at lag_hi, pushing unvoiced frames over VOICING_CUTOFF — cap
+    # it at 2.0 (the lag=flen/2 value), which covers the whole F0 search
+    # range at 16 kHz while keeping the noise floor bounded.
     lags = np.arange(flen, dtype=np.float64)
-    acf = acf * (flen / np.maximum(flen - lags, 1.0))[None, :]
+    acf = acf * np.minimum(flen / np.maximum(flen - lags, 1.0), 2.0)[None, :]
     lag_lo = max(2, int(sr / F0_MAX))
     lag_hi = min(flen - 2, int(sr / F0_MIN))
     if lag_hi <= lag_lo:

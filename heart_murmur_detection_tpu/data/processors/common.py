@@ -79,7 +79,7 @@ def extract_and_save(
 
             feats = extract_hear_feature(paths, random_init=random_init)
         else:
-            from ...models.vggish import extract_opensmile_features
+            from ...models.vggish import extract_opensmile_features, opensmile_impl
 
             feats = np.stack(
                 [
@@ -87,6 +87,13 @@ def extract_and_save(
                     for p in paths
                 ]
             )
+            # provenance marker: pip-opensmile and the native-emobase fallback
+            # are correlated but not bit-identical — record which one built
+            # this cache so features from the two are never mixed in a probe
+            with open(
+                os.path.join(feature_dir, pretrain + "_feature.provenance.json"), "w"
+            ) as f:
+                json.dump({"impl": opensmile_impl()}, f)
         out = os.path.join(feature_dir, pretrain + "_feature.npy")
         np.save(out, np.asarray(feats))
         return out

@@ -136,15 +136,40 @@ def extract_vgg_feature(
     return np.stack(out)
 
 
-def extract_opensmile_features(audio_file: str, native: bool = None):
+def opensmile_impl() -> str:
+    """Which openSMILE implementation `extract_opensmile_features` will use:
+    "pip-opensmile" (exact reference parity) or "native-emobase" (first-party
+    fallback). Callers caching features should record this so pip- and
+    fallback-extracted features are never unknowingly mixed in one probe."""
+    try:
+        import opensmile  # noqa: F401
+
+        return "pip-opensmile"
+    except ImportError:
+        return "native-emobase"
+
+
+_warned_fallback = False
+
+
+def extract_opensmile_features(
+    audio_file: str, native: "bool | None" = None
+) -> "pd.DataFrame":
     """openSMILE emobase functionals (extract_feature.py:19-27).
 
     Uses the optional pip ``opensmile`` package when installed (exact parity
     with the reference). Otherwise falls back to the first-party 988-d
     emobase-family implementation in audio/emobase.py — same dimensionality
     and recipe, NOT bit-identical to openSMILE's C++ DSP (see its docstring;
-    never mix the two inside one probe). ``native=True`` forces the fallback,
-    ``native=False`` requires the pip package."""
+    never mix the two inside one probe — `opensmile_impl()` reports which one
+    is active). ``native=True`` forces the fallback, ``native=False``
+    requires the pip package.
+
+    Both paths return a 1-row pandas DataFrame whose columns name the
+    features (openSMILE's own names on the pip path, emobase_feature_names()
+    on the fallback), so column-indexing consumers work on either."""
+    import pandas as pd
+
     if not native:
         try:
             import opensmile
@@ -157,8 +182,22 @@ def extract_opensmile_features(audio_file: str, native: bool = None):
         except ImportError:
             if native is False:
                 raise
-    from ..audio.emobase import emobase_features
+    global _warned_fallback
+    if native is None and not _warned_fallback:
+        import warnings
+
+        warnings.warn(
+            "pip 'opensmile' not installed: using the first-party emobase "
+            "fallback (audio/emobase.py). Values are correlated but not "
+            "bit-identical to openSMILE — do not mix the two inside one "
+            "probe (opensmile_impl() reports which is active).",
+            stacklevel=2,
+        )
+        _warned_fallback = True
+    from ..audio.emobase import emobase_feature_names, emobase_features
     from ..utils.audio_io import load_wav
 
     wav, sr = load_wav(audio_file, sr=None)
-    return emobase_features(wav, sr)[None, :]
+    return pd.DataFrame(
+        emobase_features(wav, sr)[None, :], columns=emobase_feature_names()
+    )

@@ -80,6 +80,15 @@ def test_lsp_in_range_sorted():
     assert (np.diff(lsf, axis=1) >= -1e-9).all()
 
 
+def test_unvoiced_noise_stays_unvoiced():
+    # the unbiased ACF correction is capped at 2x: white noise must not get
+    # its long-lag ACF amplified over the voicing cutoff (spurious low F0s)
+    wav = 0.3 * np.random.default_rng(3).standard_normal(16000).astype(np.float32)
+    lld = emobase_lld(wav, 16000)
+    f0 = lld[:, _LLD_NAMES.index("F0")]
+    assert (f0 > 0).mean() < 0.25
+
+
 def test_extract_opensmile_features_fallback(tmp_path):
     pytest.importorskip("numpy")
     from heart_murmur_detection_tpu.models.vggish import extract_opensmile_features
@@ -95,3 +104,30 @@ def test_extract_opensmile_features_fallback(tmp_path):
     write_wav(p2, _tone(300, sr=16000, sec=0.01), 16000)
     out2 = np.asarray(extract_opensmile_features(p2, native=True)).reshape(-1)
     assert out2.shape == (988,) and np.isfinite(out2).all()
+    # both paths return a named-column DataFrame (ADVICE r2): the fallback's
+    # columns are the emobase names, so name-indexing consumers work
+    df = extract_opensmile_features(p, native=True)
+    assert list(df.columns) == emobase_feature_names()
+    assert df.shape == (1, 988)
+    float(df["intensity_sma_max"].iloc[0])  # name indexing works
+
+
+def test_opensmile_provenance_sidecar(tmp_path):
+    from heart_murmur_detection_tpu.data.processors.common import extract_and_save
+    from heart_murmur_detection_tpu.models.vggish import opensmile_impl
+    from heart_murmur_detection_tpu.utils.audio_io import write_wav
+    import json
+    import os
+
+    wavs = []
+    for i in range(2):
+        p = str(tmp_path / f"{i}.wav")
+        write_wav(p, _tone(200 + 50 * i, sr=8000, sec=1.0), 8000)
+        wavs.append(p)
+    np.save(tmp_path / "sound_dir_loc.npy", np.array(wavs))
+    out = extract_and_save(str(tmp_path), pretrain="opensmile")
+    feats = np.load(out)
+    assert feats.shape == (2, 988)
+    prov = json.load(open(os.path.join(tmp_path, "opensmile_feature.provenance.json")))
+    assert prov["impl"] == opensmile_impl()
+    assert prov["impl"] in ("pip-opensmile", "native-emobase")
