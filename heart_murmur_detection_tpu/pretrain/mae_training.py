@@ -45,6 +45,7 @@ def mae_train_multiple_data(
     config_override=None,
     resume: bool = False,
     compute_dtype=None,
+    fused_train=None,
 ):
     if config_override is not None:
         cfg = config_override
@@ -86,7 +87,37 @@ def mae_train_multiple_data(
     sampler = MultiCorpusSampler(corpora, batch_size, "mae", seed=seed)
 
     tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
-    train_step = steps.make_mae_train_step(model, tx)
+    # fused_train: run the encoder fwd+bwd through the custom-VJP Pallas ViT
+    # train kernels (models/mae_train_fused, ops/pallas_vit_train). Auto
+    # (None): on for the single-chip bf16 TPU path, mirroring the COLA flag
+    # (pretrain/cola_training.py) — Pallas under a sharded jit needs
+    # shard_map, so the mesh path stays XLA; at f32 the win loses to the
+    # extra kernel compile through the remote-compile link.
+    if fused_train is None:
+        fused_train = (
+            compute_dtype == jnp.bfloat16
+            and mesh is None
+            and jax.default_backend() == "tpu"
+        )
+    if fused_train:
+        from ..models.mae_train_fused import mae_train_loss_fused
+
+        mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+        interp = jax.default_backend() != "tpu"
+        loss_fn = lambda p, x, rng: mae_train_loss_fused(
+            model, p, x, rng, mm_dtype=mm, interpret=interp
+        )
+        train_step = steps.make_mae_train_step(model, tx, loss_fn=loss_fn)
+    else:
+        # ZeRO-3 gathers weights at use (see steps.make_mae_train_step)
+        _gather = None
+        if mesh is not None and param_sharding == "fsdp":
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            _gather = NamedSharding(mesh, PartitionSpec())
+        train_step = steps.make_mae_train_step(
+            model, tx, params_at_use_sharding=_gather
+        )
     eval_step = steps.make_mae_eval_step(model)
 
     if mesh is not None:

@@ -79,14 +79,27 @@ def make_cola_eval_step(model: Cola):
     return step
 
 
-def make_mae_train_step(model: MaskedAutoencoderViT, tx):
+def make_mae_train_step(
+    model: MaskedAutoencoderViT, tx, loss_fn=None, params_at_use_sharding=None
+):
+    """loss_fn(params, x, rng) overrides the default model.apply loss — used
+    to swap in the fused-kernel training forward (models.mae_train_fused).
+    params_at_use_sharding (a replicated NamedSharding) is the ZeRO-3
+    gather-at-use constraint: GSPMD emits one all-gather per weight on entry
+    and a reduce-scatter on its gradient, instead of propagating at-rest
+    shardings into the attention compute (involuntary full remat)."""
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, rng):
-        def loss_fn(p):
+        def _loss(p):
+            if params_at_use_sharding is not None:
+                p = jax.lax.with_sharding_constraint(p, params_at_use_sharding)
+            if loss_fn is not None:
+                return loss_fn(p, x, rng)
             loss, _, _ = model.apply({"params": p}, x, rng=rng)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(_loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -268,16 +268,42 @@ def finetune_classifier(
     _bf16_path = compute_dtype == jnp.bfloat16 or (
         htsat_config is not None and htsat_config.compute_dtype == jnp.bfloat16
     )
+    _fusable = encoder_kind in ("htsat", "audiomae")
     if fused_train is None:
         fused_train = (
-            encoder_kind == "htsat"
+            _fusable
             and mesh is None
             and _bf16_path
             and jax.default_backend() == "tpu"
         )
     else:
-        fused_train = fused_train and encoder_kind == "htsat" and mesh is None
-    if fused_train:
+        fused_train = fused_train and _fusable and mesh is None
+    if fused_train and encoder_kind == "audiomae":
+        # audiomae FT: 12 ViT-B blocks through the custom-VJP fused train
+        # kernels (models/mae_train_fused.audiomae_backbone_train_fused) —
+        # same kernels as the MAE CP step; backbone has no bn/dropout state.
+        import dataclasses as _dc
+
+        from ..models.mae_train_fused import audiomae_backbone_train_fused
+        from ..models.vit_mae import audiomae_base_config as _am_cfg
+
+        _acfg = _am_cfg()
+        _mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
+        _interp = jax.default_backend() != "tpu"
+
+        def _head_apply_am(hp, h):
+            if head == "linear":
+                return h @ hp["fc"]["kernel"] + hp["fc"]["bias"]
+            h = jax.nn.relu(h @ hp["fc1"]["kernel"] + hp["fc1"]["bias"])
+            return h @ hp["fc2"]["kernel"] + hp["fc2"]["bias"]
+
+        def apply_train(params, batch_stats, xb, rng):
+            latent = audiomae_backbone_train_fused(
+                params["encoder"], xb, _acfg, mm_dtype=_mm, interpret=_interp
+            )
+            return _head_apply_am(params["head"], latent), {}
+
+    elif fused_train:
         import dataclasses as _dc
 
         from ..models.htsat_train_fused import htsat_encode_train
@@ -322,7 +348,20 @@ def finetune_classifier(
             logits, new_state = out if has_bn else (out, {})
             return logits, new_state.get("batch_stats", batch_stats) if has_bn else {}
 
+    # ZeRO-3 gathers weights at USE: replicated constraint inside the step
+    # -> one all-gather per weight on entry, reduce-scatter on its gradient
+    # (instead of GSPMD propagating at-rest shardings into attention compute,
+    # which forces involuntary full rematerializations). Megatron keeps
+    # params sharded through compute, so no constraint there.
+    _gather_at_use = None
+    if mesh is not None and param_sharding == "fsdp":
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
+
+        _gather_at_use = _NS(mesh, _PS())
+
     def loss_fn(params, batch_stats, xb, yb, valid, rng):
+        if _gather_at_use is not None:
+            params = jax.lax.with_sharding_constraint(params, _gather_at_use)
         logits, new_bs = apply_train(params, batch_stats, xb, rng)
         logits = logits + 1e-10
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, yb)
