@@ -161,9 +161,24 @@ def train_multiple_data(
             )
             return (z1, z2), new_state["batch_stats"]
 
+    # ZeRO-3 gathers weights at USE: constrain the param tree to replicated
+    # inside the step, so GSPMD emits one all-gather per weight on entry
+    # (and, via the transpose, a reduce-scatter on its gradient) instead of
+    # propagating the at-rest shardings into the attention compute — the
+    # latter produced "Involuntary full rematerialization" SPMD warnings
+    # (sharded softmax stats resharded mid-chain). Megatron keeps params
+    # sharded through compute, so no constraint there.
+    _gather_at_use = None
+    if mesh is not None and param_sharding == "fsdp":
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _gather_at_use = NamedSharding(mesh, PartitionSpec())
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, x1, x2, rng):
         def loss_fn(p):
+            if _gather_at_use is not None:
+                p = jax.lax.with_sharding_constraint(p, _gather_at_use)
             (z1, z2), new_bs = apply_pair(p, batch_stats, (x1, x2), rng)
             loss, acc = cola_loss(z1, z2)
             return loss, (acc, new_bs)
