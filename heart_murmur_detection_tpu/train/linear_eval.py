@@ -189,9 +189,15 @@ def load_feature_split(
 ):
     y_set = np.load(os.path.join(feature_dir, "train_test_split.npy"))
     y_label = np.load(os.path.join(feature_dir, labels_filename))
-    x_data = np.load(
-        os.path.join(feature_dir, use_feature + "_feature.npy")
-    ).squeeze()
+    # 'name_old' loads the reference's renamed legacy caches
+    # (<name>_feature_old.npy, e.g. operaCT768_feature_old.npy) — the
+    # reference itself has no naming rule for them (linear_eval.py:256 only
+    # builds <name>_feature.npy), they are shipped artifacts.
+    if use_feature.endswith("_old"):
+        fname = use_feature[: -len("_old")] + "_feature_old.npy"
+    else:
+        fname = use_feature + "_feature.npy"
+    x_data = np.load(os.path.join(feature_dir, fname)).squeeze()
     valid = ~np.isnan(np.asarray(y_label, dtype=np.float64))
     x_data = x_data[valid]
     y_label = y_label[valid].astype(np.int32)
