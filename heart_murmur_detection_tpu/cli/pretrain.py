@@ -58,6 +58,8 @@ def main(argv=None):
                 compute_dtype=compute_dtype,
                 mesh=mesh,
                 param_sharding=param_sharding,
+                resume=bool(cfg.get("resume", False)),
+                fused_train=cfg.get("fused_train"),
             )
         else:
             mae_train_multiple_data(
@@ -72,6 +74,8 @@ def main(argv=None):
                 compute_dtype=compute_dtype,
                 mesh=mesh,
                 param_sharding=param_sharding,
+                resume=bool(cfg.get("resume", False)),
+                fused_train=cfg.get("fused_train"),
             )
 
 
