@@ -67,7 +67,8 @@ def main():
                 wav, lengths, precision=jax.lax.Precision.HIGH
             )
             return htsat_apply_fused(
-                enc_vars, mel, nf, HTSATConfig(), mm_dtype=jnp.bfloat16
+                enc_vars, mel, nf, HTSATConfig(), mm_dtype=jnp.bfloat16,
+                fast_softmax=True,  # the FeatureExtractor TPU default
             )
     else:
 
@@ -101,20 +102,33 @@ def main():
     def batched_i16(wav16, lengths):
         return batched(wire.decode_device(wav16, "int16"), lengths)
 
+    from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+
     wav16_0, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
     np.asarray(batched_i16(jnp.asarray(wav16_0), lenj))  # warm int16 graph
-    t0 = time.time()
-    n_done = 0
-    pending = None
-    while n_done < N_CLIPS:
-        wav16, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
-        fut = batched_i16(jnp.asarray(wav16), lenj)
-        if pending is not None:
-            np.asarray(pending)
-        pending = fut
-        n_done += BATCH
-    np.asarray(pending)
-    streaming = n_done / (time.time() - t0)
+
+    def _stream(pack, fn, lens):
+        """Production streaming shape: worker thread packs + device_puts
+        depth-deep ahead (FeatureExtractor._prefetch_iter), consumer
+        dispatches compute and syncs one behind."""
+        t0 = time.time()
+        n_done = 0
+        pending = None
+        gen = (jax.device_put(pack()) for _ in range(N_CLIPS // BATCH))
+        for wavd in FeatureExtractor._prefetch_iter(gen):
+            fut = fn(wavd, lens)
+            if pending is not None:
+                np.asarray(pending)
+            pending = fut
+            n_done += BATCH
+        np.asarray(pending)
+        return n_done / (time.time() - t0)
+
+    streaming = _stream(
+        lambda: dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)[0],
+        batched_i16,
+        lenj,
+    )
 
     # (c) source-rate streaming: ship 4 kHz int16 (CirCor native rate),
     # upsample on device (ops.resample) — 8x fewer wire bytes than f32/16k
@@ -129,18 +143,37 @@ def main():
     len4j = jnp.asarray(np.full((BATCH,), max_len4, np.int32))
     w4, _ = dsp.pad_batch(clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4, dtype=np.int16)
     np.asarray(batched_4k(jnp.asarray(w4), len4j))  # warm
-    t0 = time.time()
-    n_done = 0
-    pending = None
-    while n_done < N_CLIPS:
-        w4, _ = dsp.pad_batch(clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4, dtype=np.int16)
-        fut = batched_4k(jnp.asarray(w4), len4j)
-        if pending is not None:
-            np.asarray(pending)
-        pending = fut
-        n_done += BATCH
-    np.asarray(pending)
-    streaming_4k = n_done / (time.time() - t0)
+    streaming_4k = _stream(
+        lambda: dsp.pad_batch(
+            clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4, dtype=np.int16
+        )[0],
+        batched_4k,
+        len4j,
+    )
+
+    # MFU: analytic FLOPs/batch from XLA's cost model on the exact-f32 XLA
+    # graph (identical math to the fused bf16 graph; Pallas custom calls
+    # would under-count, so the unfused graph is the one analyzed). Peak is
+    # the v5e bf16 MXU rate. Cached by XLA's persistent compile cache after
+    # the first run.
+    achieved_tflops = mfu = None
+    if on_tpu:
+        try:
+            @jax.jit
+            def batched_xla(wav, lengths):
+                mel, nf = dsp.mel_frontend(wav, lengths)
+                return model.apply(
+                    variables, mel, 768, nf, method=Cola.extract_feature
+                )
+
+            ca = batched_xla.lower(wavj, lenj).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops_batch = float(ca["flops"])
+            V5E_PEAK_BF16 = 197e12
+            achieved_tflops = round(flops_batch * (ours / BATCH) / 1e12, 2)
+            mfu = round(flops_batch * (ours / BATCH) / V5E_PEAK_BF16, 4)
+        except Exception:
+            pass
 
     # reference-style baseline: host mel per clip + batch-1 encoder dispatch
     @jax.jit
@@ -169,6 +202,8 @@ def main():
                 "baseline_per_clip_loop": round(base, 2),
                 "streaming_clips_per_sec_int16": round(streaming, 2),
                 "streaming_clips_per_sec_int16_4k_src": round(streaming_4k, 2),
+                "achieved_tflops": achieved_tflops,
+                "mfu_vs_v5e_bf16_peak": mfu,
                 "fused_bf16": on_tpu,
                 "backend": jax.default_backend(),
             }

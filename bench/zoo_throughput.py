@@ -57,7 +57,37 @@ for rnd in range(ROUNDS):
         mins[name] = min(mins.get(name, 1e9), ms)
     print(f"round {rnd}: " + " ".join(f"{k}={v:.1f}ms" for k, v in mins.items()), flush=True)
 
-print("\nencoder  ms/batch  clips/s (device-resident, production graph)")
+# analytic FLOPs/clip via XLA's cost model on the exact-f32 unfused graph
+# (same math as the fused bf16 production graph; Pallas custom calls would
+# under-count). MFU vs the v5e bf16 MXU peak. Set MFU=0 to skip the extra
+# compiles.
+V5E_PEAK_BF16 = 197e12
+flops_clip = {}
+if os.environ.get("MFU", "1") != "0":
+    for pretrain, dim, input_sec, clip_sec, B in ZOO:
+        try:
+            fe = FeatureExtractor(
+                pretrain, dim=dim, input_sec=input_sec, batch_size=B,
+                random_init=True, use_fused_htsat=False, use_fused_vit=False,
+                compute_dtype=jnp.float32,
+            )
+            _, wj, lj, _ = fns[pretrain]
+            ca = fe._fn.lower(fe.variables, wj, lj).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            flops_clip[pretrain] = float(ca["flops"]) / B
+        except Exception as e:  # noqa: BLE001 — MFU is best-effort reporting
+            print(f"mfu probe failed for {pretrain}: {e}", flush=True)
+
+print("\nencoder  ms/batch  clips/s  TFLOP/s   MFU  (device-resident, production graph)")
 for (pretrain, dim, _, clip_sec, B) in ZOO:
     ms = mins[pretrain]
-    print(f"{pretrain:9s} {ms:7.1f}  {B / (ms / 1000):7.0f}  (batch {B}, {clip_sec:.2f}s clips, dim {dim})")
+    cps = B / (ms / 1000)
+    if pretrain in flops_clip:
+        tf = flops_clip[pretrain] * cps / 1e12
+        mfu = f"{tf * 1e12 / V5E_PEAK_BF16:5.1%}"
+        tf = f"{tf:7.1f}"
+    else:
+        tf, mfu = "      -", "    -"
+    print(f"{pretrain:9s} {ms:7.1f}  {cps:7.0f} {tf} {mfu}  "
+          f"(batch {B}, {clip_sec:.2f}s clips, dim {dim}, "
+          f"{flops_clip.get(pretrain, 0) / 1e9:.1f} GFLOP/clip)")

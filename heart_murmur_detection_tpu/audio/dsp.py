@@ -120,19 +120,30 @@ def mel_frontend(
     pad = n_fft // 2
     # center padding; trailing zeros already present in the batch buffer.
     x = jnp.pad(wav, ((0, 0), (pad, pad)))
-    frames = frame_half_hop(x, n_fft)  # (B, Tmax+1, n_fft) where Tmax = Nmax//hop
     Tmax = Nmax // hop + 1
-    frames = frames[:, :Tmax]
 
     if use_fft:
+        frames = frame_half_hop(x, n_fft)[:, :Tmax]
         w = jnp.asarray(ref.hann_periodic(n_fft), dtype=jnp.float32)
         spec = jnp.fft.rfft(frames * w, axis=-1)
         power = jnp.abs(spec).astype(jnp.float32) ** 2
     else:
+        # split-DFT framing: frame t = [seg_t, seg_{t+1}] with hop-sized
+        # segments, so frames @ cos = segs @ cos_top (shifted-add) segs @
+        # cos_bot — same FLOPs, but the (B, T, n_fft) double-width frame
+        # tensor (~84 MB at B=64/10 s) is never materialized; the matmuls
+        # read the (B, S, hop) reshape directly and the shifted add runs on
+        # the small (B, T, bins) outputs.
         cos, sin = _dft_bases(n_fft, "hann_periodic")
-        f = frames.astype(compute_dtype)
-        re = jnp.matmul(f, jnp.asarray(cos), precision=prec)
-        im = jnp.matmul(f, jnp.asarray(sin), precision=prec)
+        segs = x.reshape(B, -1, hop).astype(compute_dtype)  # (B, S, hop)
+        ct, cb = jnp.asarray(cos[:hop]), jnp.asarray(cos[hop:])
+        st, sb = jnp.asarray(sin[:hop]), jnp.asarray(sin[hop:])
+        top = jnp.matmul(segs, ct, precision=prec)  # (B, S, bins)
+        bot = jnp.matmul(segs, cb, precision=prec)
+        re = top[:, :Tmax] + bot[:, 1 : Tmax + 1]
+        top = jnp.matmul(segs, st, precision=prec)
+        bot = jnp.matmul(segs, sb, precision=prec)
+        im = top[:, :Tmax] + bot[:, 1 : Tmax + 1]
         power = (re * re + im * im).astype(jnp.float32)
 
     fb = jnp.asarray(_mel_fb(sr, n_fft, n_mels, fmin, fmax))

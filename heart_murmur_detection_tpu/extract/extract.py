@@ -54,7 +54,7 @@ class FeatureExtractor:
         wire_format: str = "int16",
         source_sr: Optional[int] = None,
         mesh=None,
-        fast_softmax: bool = False,
+        fast_softmax: Optional[bool] = None,
         use_fused_vit: Optional[bool] = None,
     ):
         # use_fused_htsat: models.htsat_fused forward — fused Pallas swin
@@ -88,10 +88,20 @@ class FeatureExtractor:
                 and compute_dtype == jnp.bfloat16
             )
         self.use_fused_vit = use_fused_vit and compute_dtype == jnp.bfloat16
-        # fast_softmax: opt-in unstabilized in-kernel softmax (skips the
-        # rowwise max pass; ~3% faster forward, feature cosine 0.9999988).
-        # Safe while attention logits < 88 (f32 exp overflow) — true for
-        # LN-bounded activations, but kept off by default.
+        # fast_softmax: unstabilized in-kernel softmax (skips the rowwise
+        # max pass; ~3% faster forward, feature cosine 0.9999988 vs the
+        # stabilized kernel). Safe while attention logits < 88 (f32 exp
+        # overflow) — far above anything the LN-bounded swin logits reach
+        # (the hardware A/B at production geometry stayed finite with
+        # cosine 0.9999988, RESULTS.md round 2). Default ON for the
+        # bf16 TPU extraction path (same acceptance bar as the bf16 kernels,
+        # cosine >= 0.99999); pass False for the stabilized kernel.
+        if fast_softmax is None:
+            fast_softmax = (
+                jax.default_backend() == "tpu"
+                and mesh is None
+                and compute_dtype == jnp.bfloat16
+            )
         self.fast_softmax = fast_softmax
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).
@@ -158,6 +168,40 @@ class FeatureExtractor:
             wav, lengths = shard_batch((wav, lengths), self.mesh)
             return self._fn(self.variables, wav, lengths)
         return self._fn(self.variables, jnp.asarray(wav), jnp.asarray(lengths))
+
+    @staticmethod
+    def _prefetch_iter(gen, depth: int = 3):
+        """Run a host batch generator in a worker thread, holding up to
+        `depth` results ahead of the consumer. The generator does the
+        CPU-side pack (pad_batch + wire encode) and starts the async H2D
+        transfer (jax.device_put), so on the streaming path packing AND the
+        ~50 MB/s relay transfer of batch i+1..i+depth overlap the device
+        compute of batch i — the one-deep dispatch loop alone leaves the
+        pack time on the critical path (RESULTS.md round-4 streaming)."""
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=depth)
+        stop = object()
+        err = []
+
+        def run():
+            try:
+                for v in gen:
+                    q.put(v)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        threading.Thread(target=run, daemon=True).start()
+        while True:
+            v = q.get()
+            if v is stop:
+                break
+            yield v
+        if err:
+            raise err[0]
 
     # -- device graphs -------------------------------------------------------
     def _prologue(self, wav, lengths):
@@ -226,7 +270,8 @@ class FeatureExtractor:
                         wav, lengths, precision=prec
                     )
                     return audiomae_backbone_fused(
-                        variables, fb, cfg, mm_dtype=jnp.bfloat16
+                        variables, fb, cfg, mm_dtype=jnp.bfloat16,
+                        fast_softmax=self.fast_softmax,
                     )
 
                 return fn
@@ -252,7 +297,8 @@ class FeatureExtractor:
                     mel, nf = self._mel(wav, lengths)
                     mel = mel[:, :256]
                     return mae_forward_feature_fused(
-                        variables, mel, cfg, mm_dtype=jnp.bfloat16
+                        variables, mel, cfg, mm_dtype=jnp.bfloat16,
+                        fast_softmax=self.fast_softmax,
                     )
 
                 return fn
@@ -376,9 +422,16 @@ class FeatureExtractor:
             loader=_load,
         )
         out = np.zeros((len(paths), self.dim), np.float32)
-        pending = None  # one-deep pipeline: dispatch batch i+1 before syncing i
-        for lo, k, wav, lengths in loader:
-            wav = wire.encode_np(wav, self.wire)
+
+        def packed():
+            for lo, k, wav, lengths in loader:
+                w = wire.encode_np(wav, self.wire)
+                if self.mesh is None:  # start the async H2D in the worker
+                    w = jax.device_put(w)
+                yield lo, k, w, lengths
+
+        pending = None  # sync stays one behind; pack+transfer run depth-deep
+        for lo, k, wav, lengths in self._prefetch_iter(packed()):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 plo, pk, pf = pending
@@ -396,20 +449,27 @@ class FeatureExtractor:
         bs = self.batch_size
         if max_len is None:
             max_len = max(len(c) for c in clips)
-        pending = None  # one-deep pipeline: next transfer overlaps compute
-        for lo, hi in _batched(len(clips), bs):
-            chunk = clips[lo:hi]
-            if len(chunk) < bs:  # pad batch to fixed size, drop extras after
-                chunk = chunk + [chunk[0]] * (bs - len(chunk))
-            wav, lengths = dsp.pad_batch(
-                chunk, pad_to_multiple=512 // self._up, max_len=max_len
-            )
-            wav = wire.encode_np(wav, self.wire)
+
+        def packed():
+            for lo, hi in _batched(len(clips), bs):
+                chunk = clips[lo:hi]
+                if len(chunk) < bs:  # pad batch to fixed size, drop extras
+                    chunk = chunk + [chunk[0]] * (bs - len(chunk))
+                wav, lengths = dsp.pad_batch(
+                    chunk, pad_to_multiple=512 // self._up, max_len=max_len
+                )
+                wav = wire.encode_np(wav, self.wire)
+                if self.mesh is None:  # start the async H2D in the worker
+                    wav = jax.device_put(wav)
+                yield hi - lo, wav, lengths
+
+        pending = None  # sync stays one behind; pack+transfer run depth-deep
+        for n, wav, lengths in self._prefetch_iter(packed()):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn = pending
                 out.append(np.asarray(pf)[:pn])
-            pending = (fut, hi - lo)
+            pending = (fut, n)
         if pending is not None:
             pf, pn = pending
             out.append(np.asarray(pf)[:pn])

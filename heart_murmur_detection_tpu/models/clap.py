@@ -181,7 +181,10 @@ def extract_clap_feature(
 
     if use_fused:
         fn = jax.jit(
-            lambda v, wav, lengths: clap_audio_forward_fused(v, wav, lengths, cfg)
+            # fast_softmax: same policy as the other extraction towers
+            lambda v, wav, lengths: clap_audio_forward_fused(
+                v, wav, lengths, cfg, fast_softmax=True
+            )
         )
     else:
         fn = jax.jit(lambda v, wav, lengths: model.apply(v, wav, lengths))

@@ -101,7 +101,12 @@ def extract_hear_feature(
         from .vit_fused import hear_forward_fused
 
         fn = jax.jit(
-            lambda v, wav: hear_forward_fused(v, wav, model.config)
+            # fast_softmax: same policy as the swin/ViT extraction towers —
+            # skip the rowwise max pass (exact zeros on masked columns,
+            # safe for LN-bounded logits), bf16-path acceptance bar applies
+            lambda v, wav: hear_forward_fused(
+                v, wav, model.config, fast_softmax=True
+            )
         )
     else:
         fn = jax.jit(lambda v, wav: model.apply(v, wav)["pooled"])

@@ -64,16 +64,17 @@ def _patch_embed(x, kernel, bias, patch: int, act_dtype):
 
 
 def _encode(h, params, cfg: MAEConfig, mm_dtype, q_chunk: int,
-            interpret: bool = False):
+            interpret: bool = False, fast_softmax: bool = False):
     """Shared block stack: pad tokens, run depth fused blocks, unpad."""
     return _encode_blocks(
         h, params, cfg.depth, cfg.num_heads, cfg.mlp_ratio, mm_dtype,
-        q_chunk, interpret=interpret,
+        q_chunk, interpret=interpret, fast_softmax=fast_softmax,
     )
 
 
 def _encode_blocks(h, params, depth: int, num_heads: int, mlp_ratio: float,
-                   mm_dtype, q_chunk: int, interpret: bool = False):
+                   mm_dtype, q_chunk: int, interpret: bool = False,
+                   fast_softmax: bool = False):
     h, n_real = pad_tokens(h, 16)
     Np, C = h.shape[1], h.shape[2]
     hidden = int(C * mlp_ratio)
@@ -86,12 +87,14 @@ def _encode_blocks(h, params, depth: int, num_heads: int, mlp_ratio: float,
         if whole is not None:
             h = fused_vit_block(
                 h, p, n_real, num_heads=num_heads, q_chunk=q_chunk,
-                mm_dtype=mm_dtype, interpret=interpret,
+                mm_dtype=mm_dtype, fast_softmax=fast_softmax,
+                interpret=interpret,
             )
         else:
             h = fused_vit_attn(
                 h, p, n_real, num_heads=num_heads, q_chunk=q_chunk,
-                mm_dtype=mm_dtype, interpret=interpret,
+                mm_dtype=mm_dtype, fast_softmax=fast_softmax,
+                interpret=interpret,
             )
             h = fused_vit_mlp(h, p, mm_dtype=mm_dtype, interpret=interpret)
     return h[:, :n_real].astype(jnp.float32)
@@ -105,6 +108,7 @@ def mae_forward_feature_fused(
     mm_dtype=jnp.float32,
     q_chunk: int = 128,
     interpret: bool = False,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """operaGT LP feature: mel (B, 256, 64) -> (B, 384). Equals
     MaskedAutoencoderViT.apply(..., method=forward_feature)."""
@@ -120,7 +124,8 @@ def mae_forward_feature_fused(
     h = jnp.concatenate(
         [jnp.broadcast_to(cls, (h.shape[0], 1, h.shape[2])), h], axis=1
     )
-    h = _encode(h, params, cfg, mm_dtype, q_chunk, interpret=interpret)
+    h = _encode(h, params, cfg, mm_dtype, q_chunk, interpret=interpret,
+                fast_softmax=fast_softmax)
     return _ln(h[:, 1:].mean(axis=1), params["norm"])
 
 
@@ -132,6 +137,7 @@ def audiomae_backbone_fused(
     mm_dtype=jnp.float32,
     q_chunk: int = 128,
     interpret: bool = False,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """Audio-MAE extract feature: fbank (B, T<=1024, 128) -> (B, 768).
     Equals AudioMAEClassifierBackbone.apply (zero-pad to img, encode,
@@ -152,7 +158,8 @@ def audiomae_backbone_fused(
     h = jnp.concatenate(
         [jnp.broadcast_to(cls, (B, 1, h.shape[2])), h], axis=1
     )
-    h = _encode(h, params, cfg, mm_dtype, q_chunk, interpret=interpret)
+    h = _encode(h, params, cfg, mm_dtype, q_chunk, interpret=interpret,
+                fast_softmax=fast_softmax)
     return _ln(h[:, 1:].mean(axis=1), params["fc_norm"])
 
 
@@ -165,6 +172,7 @@ def hear_forward_fused(
     q_chunk: int = 128,
     interpret: bool = False,
     from_spectrogram: bool = False,
+    fast_softmax: bool = False,
 ) -> jnp.ndarray:
     """HeAR pooled embedding: waveform (B, <=32000) -> (B, 512). Equals
     models.hear.HeAREncoder.apply(...)["pooled"] (ViT-L/16 over 192x128
@@ -190,7 +198,7 @@ def hear_forward_fused(
     ) + params["pos_embed"]
     h = _encode_blocks(
         h, params, cfg.depth, cfg.heads, cfg.mlp_ratio, mm_dtype, q_chunk,
-        interpret=interpret,
+        interpret=interpret, fast_softmax=fast_softmax,
     )
     cls_out = _ln(h[:, 0], params["norm"])
     p = params["pooler"]

@@ -64,7 +64,7 @@ def _chunks(n: int, step: int):
 
 
 def _attn_half(x, n_real, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
-               *, heads: int, q_chunk: int, mm_dtype):
+               *, heads: int, q_chunk: int, mm_dtype, fast_softmax=False):
     """LN1 -> qkv -> full-seq attention -> proj -> +x on values.
 
     x (bb, Np, C); n_real (static int) masks key columns >= n_real via an
@@ -108,7 +108,15 @@ def _attn_half(x, n_real, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
         if n_real is not None:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < n_real, s, -1e9)
-        s = jax.nn.softmax(s, axis=-1)
+        if fast_softmax:
+            # skip the rowwise max pass — one fewer full sweep of the score
+            # chunk. Exact while logits < 88 (f32 exp overflow); the masked
+            # -1e9 columns underflow to literal zeros either way. Same
+            # policy/acceptance bar as ops.pallas_swin fast_softmax.
+            e = jnp.exp(s)
+            s = e / jnp.sum(e, axis=-1, keepdims=True)
+        else:
+            s = jax.nn.softmax(s, axis=-1)
         outs.append(
             jax.lax.dot_general(
                 mm(s), mm(vs),
@@ -159,12 +167,13 @@ def _full_kernel(
     w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
     ln2_s, ln2_b, w_fc1, b_fc1, w_fc2, b_fc2,
     out_ref,
-    *, heads: int, q_chunk: int, mm_dtype, n_real,
+    *, heads: int, q_chunk: int, mm_dtype, n_real, fast_softmax=False,
 ):
     x = x_ref[:]
     h1 = _attn_half(
         x, n_real, w_qkv[:], b_qkv[0], w_proj[:], b_proj[0],
         ln1_s[0], ln1_b[0], heads=heads, q_chunk=q_chunk, mm_dtype=mm_dtype,
+        fast_softmax=fast_softmax,
     )
     out_ref[:] = _mlp_half(
         h1, ln2_s[0], ln2_b[0], w_fc1[:], b_fc1[0], w_fc2[:], b_fc2[0],
@@ -174,11 +183,12 @@ def _full_kernel(
 
 def _attn_kernel(
     x_ref, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b, out_ref,
-    *, heads: int, q_chunk: int, mm_dtype, n_real,
+    *, heads: int, q_chunk: int, mm_dtype, n_real, fast_softmax=False,
 ):
     out_ref[:] = _attn_half(
         x_ref[:], n_real, w_qkv[:], b_qkv[0], w_proj[:], b_proj[0],
         ln1_s[0], ln1_b[0], heads=heads, q_chunk=q_chunk, mm_dtype=mm_dtype,
+        fast_softmax=fast_softmax,
     )
 
 
@@ -282,6 +292,7 @@ def fused_vit_block(
     bb: Optional[int] = None,
     q_chunk: int = 128,
     mm_dtype=jnp.float32,
+    fast_softmax: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full ViT block on x (B, Np, C); Np must be 8/16-tile aligned
@@ -305,7 +316,7 @@ def fused_vit_block(
     return pl.pallas_call(
         functools.partial(
             _full_kernel, heads=num_heads, q_chunk=q_chunk, mm_dtype=mm_dtype,
-            n_real=n_real,
+            n_real=n_real, fast_softmax=fast_softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), x.dtype),
         grid=(B // bb,),
@@ -326,6 +337,7 @@ def fused_vit_attn(
     bb: int = 1,
     q_chunk: int = 128,
     mm_dtype=jnp.float32,
+    fast_softmax: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Attention half (LN1+qkv+attention+proj+residual) of one ViT block."""
@@ -336,7 +348,7 @@ def fused_vit_attn(
     return pl.pallas_call(
         functools.partial(
             _attn_kernel, heads=num_heads, q_chunk=q_chunk, mm_dtype=mm_dtype,
-            n_real=n_real,
+            n_real=n_real, fast_softmax=fast_softmax,
         ),
         out_shape=jax.ShapeDtypeStruct((B, Np, C), x.dtype),
         grid=(B // bb,),

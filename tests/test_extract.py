@@ -108,3 +108,27 @@ class TestBaselineRouting:
         feats = np.load(out)
         assert feats.shape == (len(wav_dir), 128)
         assert np.isfinite(feats).all()
+
+
+def test_prefetch_iter_order_and_errors():
+    """_prefetch_iter preserves order, drains fully, and re-raises worker
+    exceptions (the depth-deep pack+upload pipeline of the streaming path)."""
+    from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+
+    got = list(FeatureExtractor._prefetch_iter(iter(range(17)), depth=3))
+    assert got == list(range(17))
+
+    def boom():
+        yield 1
+        yield 2
+        raise ValueError("pack failed")
+
+    out = []
+    try:
+        for v in FeatureExtractor._prefetch_iter(boom(), depth=2):
+            out.append(v)
+    except ValueError as e:
+        assert "pack failed" in str(e)
+    else:
+        raise AssertionError("worker exception not propagated")
+    assert out == [1, 2]

@@ -118,3 +118,26 @@ class TestFusedForwards:
         got = audiomae_backbone_fused(v, x, cfg, q_chunk=16, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=1e-4)
+
+
+def test_fast_softmax_parity():
+    """fast_softmax (no rowwise max pass) must match the stabilized kernel to
+    float noise on LN-bounded activations, including exact zeros on masked
+    (padded) key columns — the -1e9 mask exp-underflows identically."""
+    from heart_murmur_detection_tpu.models.vit_mae import MAEConfig, MaskedAutoencoderViT
+    from heart_murmur_detection_tpu.models.vit_fused import mae_forward_feature_fused
+
+    rr = np.random.default_rng(7)
+    cfg = MAEConfig(img_size=(16, 16), patch_size=4, embed_dim=128,
+                    depth=2, num_heads=2, decoder_depth=2)
+    model = MaskedAutoencoderViT(cfg)
+    x = jnp.asarray(rr.standard_normal((2, 16, 16)), jnp.float32)
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        x[:1],
+    )
+    slow = mae_forward_feature_fused(v, x, cfg, q_chunk=16, interpret=True)
+    fast = mae_forward_feature_fused(v, x, cfg, q_chunk=16, interpret=True,
+                                     fast_softmax=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=1e-5, rtol=1e-5)
