@@ -128,6 +128,40 @@ def audiomae_backbone_train_fused(
     return _ln(h, params["fc_norm"])
 
 
+def gt_backbone_train_fused(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: MAEConfig,
+    *,
+    mm_dtype=jnp.float32,
+    q_chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """GTBackbone forward (train/finetune.py GTBackbone -> MAE
+    forward_feature, models/vit_mae.py:455-462) with fused differentiable
+    blocks — the operaGT fine-tuning encoder. params: the flax 'mae'
+    subtree. Returns the (B, D) LN'd mean-token feature."""
+    act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
+    pe = params["patch_embed_proj"]
+    h = _patch_embed(x, pe["kernel"], pe["bias"], cfg.patch_size, jnp.float32)
+    pos = jnp.asarray(
+        sincos_pos_embed_flexible(cfg.embed_dim, cfg.patch_hw, cls_token=True)
+    )[None]
+    h = h.astype(jnp.float32) + pos[:, 1 : h.shape[1] + 1]
+    B, L, D = h.shape
+    cls = params["cls_token"] + pos[:, :1]
+    h = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, D)), h], axis=1)
+    h, n_real = pad_tokens(h, 16)
+    h = h.astype(act_dtype)
+    for i in range(cfg.depth):
+        h = fused_vit_block_train(
+            h, params[f"blocks_{i}"], n_real, num_heads=cfg.num_heads,
+            q_chunk=q_chunk, mm_dtype=mm_dtype, interpret=interpret,
+        )
+    h = h[:, 1:n_real].astype(jnp.float32).mean(axis=1)
+    return _ln(h, params["norm"])
+
+
 def mae_train_loss_fused(
     model: MaskedAutoencoderViT,
     params: dict,

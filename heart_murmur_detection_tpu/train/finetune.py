@@ -268,7 +268,7 @@ def finetune_classifier(
     _bf16_path = compute_dtype == jnp.bfloat16 or (
         htsat_config is not None and htsat_config.compute_dtype == jnp.bfloat16
     )
-    _fusable = encoder_kind in ("htsat", "audiomae")
+    _fusable = encoder_kind in ("htsat", "audiomae", "gt")
     if fused_train is None:
         fused_train = (
             _fusable
@@ -278,16 +278,16 @@ def finetune_classifier(
         )
     else:
         fused_train = fused_train and _fusable and mesh is None
-    if fused_train and encoder_kind == "audiomae":
-        # audiomae FT: 12 ViT-B blocks through the custom-VJP fused train
-        # kernels (models/mae_train_fused.audiomae_backbone_train_fused) —
-        # same kernels as the MAE CP step; backbone has no bn/dropout state.
-        import dataclasses as _dc
+    if fused_train and encoder_kind in ("audiomae", "gt"):
+        # MAE-family FT: the 12 ViT blocks run through the custom-VJP fused
+        # train kernels (models/mae_train_fused) — same kernels as the MAE
+        # CP step; these backbones have no bn/dropout state.
+        from ..models.mae_train_fused import (
+            audiomae_backbone_train_fused,
+            gt_backbone_train_fused,
+        )
+        from ..models.vit_mae import audiomae_base_config, mae_vit_small_config
 
-        from ..models.mae_train_fused import audiomae_backbone_train_fused
-        from ..models.vit_mae import audiomae_base_config as _am_cfg
-
-        _acfg = _am_cfg()
         _mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
         _interp = jax.default_backend() != "tpu"
 
@@ -297,11 +297,25 @@ def finetune_classifier(
             h = jax.nn.relu(h @ hp["fc1"]["kernel"] + hp["fc1"]["bias"])
             return h @ hp["fc2"]["kernel"] + hp["fc2"]["bias"]
 
+        if encoder_kind == "audiomae":
+            _acfg = audiomae_base_config()
+
+            def _encode_fused(enc_params, xb):
+                return audiomae_backbone_train_fused(
+                    enc_params, xb, _acfg, mm_dtype=_mm, interpret=_interp
+                )
+        else:  # gt: params nest under encoder/mae (GTBackbone)
+            _gcfg = mae_vit_small_config()
+
+            def _encode_fused(enc_params, xb):
+                return gt_backbone_train_fused(
+                    enc_params["mae"], xb, _gcfg, mm_dtype=_mm, interpret=_interp
+                )
+
         def apply_train(params, batch_stats, xb, rng):
-            latent = audiomae_backbone_train_fused(
-                params["encoder"], xb, _acfg, mm_dtype=_mm, interpret=_interp
-            )
-            return _head_apply_am(params["head"], latent), {}
+            return _head_apply_am(
+                params["head"], _encode_fused(params["encoder"], xb)
+            ), {}
 
     elif fused_train:
         import dataclasses as _dc

@@ -148,3 +148,40 @@ def test_mae_train_step_fused_runs():
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), new_params, before
     )
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+def test_gt_backbone_fused_matches():
+    """gt_backbone_train_fused vs GTBackbone.apply (MAE forward_feature) —
+    feature and gradients, tiny config, interpret mode."""
+    from heart_murmur_detection_tpu.models.mae_train_fused import (
+        gt_backbone_train_fused,
+    )
+    from heart_murmur_detection_tpu.train.finetune import GTBackbone
+
+    cfg = _tiny_cfg()
+    model = GTBackbone(config=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2,) + cfg.img_size)
+    params = model.init(jax.random.PRNGKey(1), x)["params"]
+
+    f_ref = model.apply({"params": params}, x, train=True)
+    f_fused = gt_backbone_train_fused(params["mae"], x, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(f_fused), np.asarray(f_ref), atol=2e-4, rtol=2e-4
+    )
+
+    w = jnp.arange(f_ref.size, dtype=jnp.float32).reshape(f_ref.shape) / f_ref.size
+    g_ref = jax.grad(
+        lambda p: jnp.sum(model.apply({"params": p}, x, train=True) * w)
+    )(params)["mae"]
+    g_fused = jax.grad(
+        lambda p: jnp.sum(gt_backbone_train_fused(p, x, cfg, interpret=True) * w)
+    )(params["mae"])
+    for (pr, a), (pf, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_ref)[0],
+        jax.tree_util.tree_flatten_with_path(g_fused)[0],
+    ):
+        assert pr == pf
+        # decoder leaves get zero cotangent both ways; encoder leaves match
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-4, rtol=2e-3, err_msg=str(pr)
+        )

@@ -473,3 +473,35 @@ def test_shard_batch_layout():
         np.testing.assert_array_equal(np.asarray(shard.data), x[2 * i : 2 * i + 2])
     rep = jax.device_put(np.ones(4), replicate_sharding(mesh))
     assert rep.sharding.is_fully_replicated
+
+
+def test_zero3_mae_cp_matches_single_device(tmp_path):
+    """ZeRO-3 MAE CP (param_sharding=fsdp on the 1-D mesh, exercising the
+    gather-at-use constraint in steps.make_mae_train_step) must equal the
+    single-device run."""
+    from heart_murmur_detection_tpu.pretrain.mae_training import (
+        mae_train_multiple_data,
+    )
+    from tests.test_pretrain import TINY_MAE, synth_corpus
+
+    def run(mesh_, ps, tag):
+        c = synth_corpus("a", 48, 20, 40, 16, 32, seed=3)
+        return mae_train_multiple_data(
+            f"z3mae-{tag}",
+            data_source={"a": 32},
+            n_epoches=1,
+            batch_size=4,
+            corpora=[c],
+            config_override=TINY_MAE,
+            mesh=mesh_,
+            param_sharding=ps,
+            ckpt_root=str(tmp_path / f"cks-{tag}"),
+            log_dir=str(tmp_path / f"logs-{tag}"),
+            verbose=False,
+        )
+
+    _, h_z, _ = run(data_parallel_mesh(4), "fsdp", "fsdp")
+    _, h_s, _ = run(None, None, "single")
+    np.testing.assert_allclose(
+        h_z[-1]["train_loss"], h_s[-1]["train_loss"], rtol=2e-4
+    )
