@@ -32,6 +32,34 @@ from . import reference_np as ref
 HIGH = jax.lax.Precision.HIGHEST
 
 
+def frame_signal(x: jnp.ndarray, win: int, hop: int, Tmax: int) -> jnp.ndarray:
+    """(B, P) -> (B, Tmax, win) overlapping frames, frame t = x[t*hop : t*hop+win].
+
+    Conv-free framing: conv_general_dilated_patches lowers to an implicit
+    identity conv of cost ~B*T*win^2 FLOPs (63 GFLOP/batch at the CLAP
+    44.1 kHz geometry — it was ~half the whole extraction graph, RESULTS.md
+    r4). Here the signal is reshaped into gcd(win, hop)-sample blocks and
+    each frame is win//g consecutive blocks starting at a static stride —
+    win//g strided slices + one concat, pure data movement. Zero-pads x when
+    hop*(Tmax-1)+win exceeds its length (frames past the end read zeros)."""
+    import math
+
+    B, P = x.shape
+    g = math.gcd(win, hop)
+    step, width = hop // g, win // g
+    need = hop * (Tmax - 1) + win
+    if P < need:
+        x = jnp.pad(x, ((0, 0), (0, need - P)))
+    else:
+        x = x[:, :need]
+    blocks = x.reshape(B, need // g, g)
+    parts = [
+        jax.lax.slice_in_dim(blocks, k, k + step * (Tmax - 1) + 1, step, axis=1)
+        for k in range(width)
+    ]
+    return jnp.concatenate(parts, axis=2) if width > 1 else parts[0]
+
+
 # ---------------------------------------------------------------------------
 # precomputed constant bases (host numpy, cached)
 # ---------------------------------------------------------------------------
@@ -178,25 +206,29 @@ def logmel_frontend_general(
     hop: int = 320,
     pad_mode: str = "reflect",
     amin: float = 1e-10,
+    precision=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """torchlibrosa-semantics log-mel (Spectrogram center=True reflect +
     LogmelFilterBank ref=1.0, amin=1e-10, top_db=None — htsat.py:582-602,
     msclap models/audio.py). Arbitrary hop via conv patches. Returns
-    (B, Tmax, n_mels) log10-scaled by 10, invalid frames zeroed, + counts."""
+    (B, Tmax, n_mels) log10-scaled by 10, invalid frames zeroed, + counts.
+
+    precision: DFT/mel matmul precision. None = HIGHEST (strict parity,
+    six bf16 MXU passes); the bf16 fused CLAP path passes Precision.HIGH
+    (bf16x3, ~1e-7 relative — the mel_frontend policy). At 44.1 kHz this
+    frontend is ~60% of the CLAP-2023 extraction graph (RESULTS.md r4)."""
+    prec = HIGH if precision is None else precision
     B, Nmax = wav.shape
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)), mode=pad_mode)
     Tmax = Nmax // hop + 1
-    patches = jax.lax.conv_general_dilated_patches(
-        x[:, None, :], (n_fft,), (hop,), "VALID"
-    )  # (B, n_fft, T')
-    frames = jnp.transpose(patches, (0, 2, 1))[:, :Tmax].astype(jnp.float32)
+    frames = frame_signal(x, n_fft, hop, Tmax).astype(jnp.float32)
     cos, sin = _dft_bases(n_fft, "hann_periodic")
-    re = jnp.matmul(frames, jnp.asarray(cos), precision=HIGH)
-    im = jnp.matmul(frames, jnp.asarray(sin), precision=HIGH)
+    re = jnp.matmul(frames, jnp.asarray(cos), precision=prec)
+    im = jnp.matmul(frames, jnp.asarray(sin), precision=prec)
     power = re * re + im * im
     fb = jnp.asarray(_mel_fb(sr, n_fft, n_mels, fmin, fmax))
-    mel = jnp.matmul(power, fb, precision=HIGH)
+    mel = jnp.matmul(power, fb, precision=prec)
     logmel = 10.0 * jnp.log10(jnp.maximum(mel, amin))
     n_frames = (lengths // hop + 1).astype(jnp.int32)
     valid = jnp.arange(Tmax)[None, :] < n_frames[:, None]
@@ -242,10 +274,7 @@ def kaldi_fbank_frontend(
         wav = jnp.where(valid_n, wav - mean, 0.0)
 
     Tmax = max(1 + (Nmax - win) // shift, 1)
-    patches = jax.lax.conv_general_dilated_patches(
-        wav[:, None, :], (win,), (shift,), "VALID"
-    )  # (B, win, T')
-    frames = jnp.transpose(patches, (0, 2, 1))[:, :Tmax].astype(jnp.float32)
+    frames = frame_signal(wav, win, shift, Tmax).astype(jnp.float32)
 
     if remove_dc_offset:
         frames = frames - frames.mean(axis=-1, keepdims=True)

@@ -63,6 +63,23 @@ def _dft(frame: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _ema_matrix(T: int, s: float) -> np.ndarray:
+    """Closed form of the PCEN EMA as a lower-triangular (T, T) matrix.
+
+    m_t = (1-s) m_{t-1} + s e_t with m_0 = E[0] unrolls to
+    M[t] = (1-s)^t E[0] + sum_{j=1..t} s (1-s)^{t-j} E[j]; with T=200 and
+    s=0.04 the smallest coefficient is (1-s)^199 ~ 3e-4 — no underflow.
+    One (T, T) x (T, B*F) MXU matmul replaces the T-step serial lax.scan
+    (200 dependent VPU steps on a (B, F) row — the scan was ~10% of the
+    HeAR extraction graph, RESULTS.md round 4)."""
+    t = np.arange(T)[:, None]
+    j = np.arange(T)[None, :]
+    A = s * (1.0 - s) ** (t - j)
+    A[:, 0] = (1.0 - s) ** t[:, 0]
+    return np.where(j <= t, A, 0.0).astype(np.float32)
+
+
 def pcen(
     E: jnp.ndarray,
     alpha: float = 0.8,
@@ -70,40 +87,85 @@ def pcen(
     delta: float = 2.0,
     root: float = 2.0,
     floor: float = 1e-8,
+    impl: str = "matmul",
 ) -> jnp.ndarray:
-    """Per-channel energy normalisation over time axis 1. E: (B, T, F)."""
+    """Per-channel energy normalisation over time axis 1. E: (B, T, F).
 
-    def step(m, e):
-        m = (1.0 - s) * m + s * e
-        return m, m
+    impl: "matmul" (default) computes the EMA smoother as one triangular
+    matmul on the MXU — identical recurrence, reassociated float sums
+    (~1e-6 relative vs "scan", tests/test_baseline_encoders.py).
+    "scan" is the literal serial reference (hear audio_utils.py:407-427)."""
+    if impl == "matmul":
+        A = jnp.asarray(_ema_matrix(E.shape[1], s))
+        M = jnp.einsum(
+            "tj,bjf->btf", A, E, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
 
-    m0 = E[:, 0]
-    _, M = jax.lax.scan(step, m0, jnp.swapaxes(E, 0, 1))
-    M = jnp.swapaxes(M, 0, 1)
+        def step(m, e):
+            m = (1.0 - s) * m + s * e
+            return m, m
+
+        m0 = E[:, 0]
+        _, M = jax.lax.scan(step, m0, jnp.swapaxes(E, 0, 1))
+        M = jnp.swapaxes(M, 0, 1)
     r = 1.0 / root
     return (E / (floor + M) ** alpha + delta) ** r - delta**r
 
 
-def resize_bilinear_tf(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
-    """tf.image.resize bilinear (align_corners=False, half-pixel). x: (B,H,W)."""
+def _axis_weights(n_in, n_out):
+    pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+    i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(np.int32)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    frac = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+    return i0, i1, frac
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) 2-tap bilinear weight matrix (half-pixel, TF semantics) —
+    the gather-free form: TPU gathers serialize, a banded matmul rides the
+    MXU (same trick as audio.dsp.resize_bicubic_time)."""
+    i0, i1, frac = _axis_weights(n_in, n_out)
+    W = np.zeros((n_out, n_in), np.float32)
+    W[np.arange(n_out), i0] += 1.0 - frac
+    W[np.arange(n_out), i1] += frac
+    return W
+
+
+def resize_bilinear_tf(
+    x: jnp.ndarray, out_h: int, out_w: int, impl: str = "matmul"
+) -> jnp.ndarray:
+    """tf.image.resize bilinear (align_corners=False, half-pixel). x: (B,H,W).
+
+    impl "matmul": out = Wh @ x @ Ww^T as two banded matmuls (exact same
+    2-tap weights; MXU instead of serialized gathers). "gather" is the
+    literal indexed form."""
     B, H, W = x.shape
+    if impl == "matmul":
+        hi = jax.lax.Precision.HIGHEST
+        out = jnp.einsum("oh,bhw->bow", jnp.asarray(_resize_matrix(H, out_h)),
+                         x, precision=hi)
+        if not (out_w == W):
+            out = jnp.einsum(
+                "bow,pw->bop", out, jnp.asarray(_resize_matrix(W, out_w)),
+                precision=hi,
+            )
+        return out
 
-    def axis_weights(n_in, n_out):
-        pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
-        i0 = np.clip(np.floor(pos), 0, n_in - 1).astype(np.int32)
-        i1 = np.clip(i0 + 1, 0, n_in - 1)
-        frac = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
-        return i0, i1, frac
-
-    h0, h1, hf = axis_weights(H, out_h)
-    w0, w1, wf = axis_weights(W, out_w)
+    h0, h1, hf = _axis_weights(H, out_h)
+    w0, w1, wf = _axis_weights(W, out_w)
     top = x[:, h0][:, :, w0] * (1 - wf)[None, None, :] + x[:, h0][:, :, w1] * wf[None, None, :]
     bot = x[:, h1][:, :, w0] * (1 - wf)[None, None, :] + x[:, h1][:, :, w1] * wf[None, None, :]
     return top * (1 - hf)[None, :, None] + bot * hf[None, :, None]
 
 
-def hear_preprocess(audio: jnp.ndarray) -> jnp.ndarray:
-    """(B, 32000) waveform -> (B, 192, 128) mel-PCEN (audio_utils.preprocess_audio)."""
+def hear_preprocess(audio: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """(B, 32000) waveform -> (B, 192, 128) mel-PCEN (audio_utils.preprocess_audio).
+
+    precision: DFT/mel matmul precision. None = HIGHEST (strict parity);
+    the bf16 fused extraction path passes Precision.HIGH (bf16x3, ~1e-7
+    relative — the audio.dsp.mel_frontend policy)."""
     B, N = audio.shape
     if N < N_SAMPLES:
         audio = jnp.pad(audio, ((0, 0), (0, N_SAMPLES - N)))
@@ -112,14 +174,15 @@ def hear_preprocess(audio: jnp.ndarray) -> jnp.ndarray:
     x = x / (jnp.max(x, axis=1, keepdims=True) + 1e-8)
     x = x * 2.0 - 1.0
 
-    # pad_end framing: n_frames = ceil(N / hop)
+    # pad_end framing: n_frames = ceil(N / hop); conv-free strided-slice
+    # framing (audio.dsp.frame_signal — patches-conv costs an implicit
+    # identity conv)
+    from .dsp import frame_signal
+
     n_frames = -(-N_SAMPLES // HOP)
-    padded = (n_frames - 1) * HOP + FRAME
-    x = jnp.pad(x, ((0, 0), (0, padded - N_SAMPLES)))
-    patches = jax.lax.conv_general_dilated_patches(x[:, None, :], (FRAME,), (HOP,), "VALID")
-    frames = jnp.transpose(patches, (0, 2, 1))  # (B, n_frames, FRAME)
+    frames = frame_signal(x, FRAME, HOP, n_frames)  # (B, n_frames, FRAME)
     cos, sin = _dft(FRAME)
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGHEST if precision is None else precision
     re = jnp.matmul(frames, jnp.asarray(cos), precision=hi)
     im = jnp.matmul(frames, jnp.asarray(sin), precision=hi)
     power = re * re + im * im

@@ -108,9 +108,12 @@ def clap_audio_forward_fused(
     assert cfg.version == "2023", "fused path covers the HTS-AT (2023) tower"
     from .htsat_fused import htsat_apply_fused
 
+    # bf16 tower -> bf16x3 DFT passes (the mel_frontend/extract.py policy);
+    # at 44.1 kHz the HIGHEST-precision frontend was ~60% of the whole graph
+    prec = jax.lax.Precision.HIGH if mm_dtype == jnp.bfloat16 else None
     logmel, nf = logmel_frontend_general(
         wav, lengths, cfg.sample_rate, cfg.mel_bins, cfg.fmin, cfg.fmax,
-        cfg.n_fft, cfg.hop,
+        cfg.n_fft, cfg.hop, precision=prec,
     )
     sub = {
         "params": variables["params"]["base"],

@@ -189,7 +189,9 @@ def hear_forward_fused(
     cfg = cfg or HeARConfig()
     params = variables["params"]
     act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
-    x = audio if from_spectrogram else hear_preprocess(audio)
+    # bf16 path: bf16x3 DFT/mel passes (~1e-7 rel; the mel_frontend policy)
+    prec = jax.lax.Precision.HIGH if mm_dtype == jnp.bfloat16 else None
+    x = audio if from_spectrogram else hear_preprocess(audio, precision=prec)
     pe = params["patch_embed_proj"]
     h = _patch_embed(x, pe["kernel"], pe["bias"], cfg.patch_size, act_dtype)
     cls = params["cls_token"]

@@ -60,6 +60,28 @@ class TestHeARFrontend:
         # constant input -> EMA == input -> output constant over time
         assert np.allclose(out[0, 1:], out[0, 1], atol=1e-5)
 
+    def test_pcen_matmul_matches_scan(self):
+        import jax.numpy as jnp
+
+        r = np.random.default_rng(2)
+        E = jnp.asarray(np.abs(r.standard_normal((3, 200, 128))), jnp.float32)
+        a = np.asarray(pcen(E, impl="matmul"))
+        b = np.asarray(pcen(E, impl="scan"))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    def test_resize_matmul_matches_gather(self):
+        import jax.numpy as jnp
+
+        r = np.random.default_rng(3)
+        x = jnp.asarray(r.standard_normal((2, 200, 128)), jnp.float32)
+        a = np.asarray(resize_bilinear_tf(x, 192, 128, impl="matmul"))
+        b = np.asarray(resize_bilinear_tf(x, 192, 128, impl="gather"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        # non-identity W axis too
+        a = np.asarray(resize_bilinear_tf(x, 96, 64, impl="matmul"))
+        b = np.asarray(resize_bilinear_tf(x, 96, 64, impl="gather"))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
     def test_resize_matches_torch_bilinear(self):
         torch = pytest.importorskip("torch")
         import jax.numpy as jnp
