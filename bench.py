@@ -51,6 +51,19 @@ def main():
     model, variables = registry.initialize_pretrained_model("operaCT", random_init=True)
     on_tpu = jax.default_backend() == "tpu"
 
+    # numerics prologue: re-prove the fused bf16 towers against their exact
+    # f32 XLA graphs before timing anything (bench/numerics_pin.py) — a
+    # fused-kernel numerics regression fails the bench run itself. Skip with
+    # HMDT_BENCH_NUMERICS=0.
+    numerics = None
+    if on_tpu and os.environ.get("HMDT_BENCH_NUMERICS", "1") != "0":
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
+        from numerics_pin import run_pin
+
+        numerics = run_pin()
+
     max_len = ((int(CLIP_SEC * SR) + 511) // 512) * 512
 
     if on_tpu:
@@ -205,6 +218,7 @@ def main():
                 "achieved_tflops": achieved_tflops,
                 "mfu_vs_v5e_bf16_peak": mfu,
                 "fused_bf16": on_tpu,
+                "numerics_cosine_fused_vs_f32": numerics,
                 "backend": jax.default_backend(),
             }
         )

@@ -4,7 +4,13 @@ Np=1040, C=384, 6 heads, hd=64): the qk/av matmuls measure ~34% MFU vs the
   v0  current production chain (dot_general contract last-dims, q-chunked)
   v1  k pre-transposed once per layer (rhs native layout: K sublanes, N lanes)
   v2  v1 + single q chunk (no per-chunk python loop)
-  v3  v1 + scores kept bf16 into av (saves an f32->bf16 cast pass)
+  v3  v1 + normalize AFTER av: out = (exp(s) @ v) * (1/sum) — the divide
+      touches (qc, hd) instead of (qc, Np), saving a full score-size VPU
+      pass + the f32 score rewrite before the bf16 cast
+  v4  v3 + single q chunk
+  v5  v4 + exp computed in bf16 (halves the score-pass width)
+  noattn  upper bound: skip qk/softmax/av entirely (out = q) — quantifies
+      the attention chain's share of the half in the same process
 Each variant: 8 chained attn-half kernels, same-process min."""
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -56,7 +62,7 @@ def kernel(x_ref, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b, out_ref,
         [qkv[:, :, off + hh * hd : off + (hh + 1) * hd] for hh in range(heads)], 0
     )
     qs, ks, vs = hcat(0), hcat(C), hcat(2 * C)
-    if mode in ("v1", "v2", "v3"):
+    if mode != "v0":
         ksr = jnp.swapaxes(ks, 1, 2)  # (heads, hd, Np): rhs-native layout
         qk_dims = (((2,), (1,)), ((0,), (0,)))
     else:
@@ -64,22 +70,46 @@ def kernel(x_ref, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b, out_ref,
         qk_dims = (((2,), (2,)), ((0,), (0,)))
     outs = []
     o_ = 0
-    step = Np if mode == "v2" else q_chunk
+    step = Np if mode in ("v2", "v4", "v5") else q_chunk
     while o_ < Np:
         qc = min(step, Np - o_)
+        if mode == "noattn":
+            outs.append(qs[:, o_ : o_ + qc])
+            o_ += qc
+            continue
         s = jax.lax.dot_general(
             mm(qs[:, o_ : o_ + qc]), mm(ksr),
             dimension_numbers=qk_dims, preferred_element_type=jnp.float32,
         )
-        e = jnp.exp(s)
-        s = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                mm(s), mm(vs),
+        if mode == "v5":
+            e = jnp.exp(s.astype(jnp.bfloat16))
+            recip = 1.0 / jnp.sum(e.astype(jnp.float32), axis=-1, keepdims=True)
+            av = jax.lax.dot_general(
+                e, mm(vs),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        )
+            )
+            outs.append((av * recip).astype(jnp.bfloat16))
+            o_ += qc
+            continue
+        e = jnp.exp(s)
+        if mode in ("v3", "v4"):
+            recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            av = jax.lax.dot_general(
+                mm(e), mm(vs),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            outs.append((av * recip).astype(jnp.bfloat16))
+        else:
+            s = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(
+                jax.lax.dot_general(
+                    mm(s), mm(vs),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            )
         o_ += qc
     ost = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     o = jnp.concatenate(
@@ -123,5 +153,5 @@ def build(B, Np, C, heads, mode, q_chunk=208, depth=8):
 B, Np, C, heads = 64, 1040, 384, 6
 x = jnp.asarray(r.standard_normal((B, Np, C)).astype(np.float32)).astype(jnp.bfloat16)
 print(f"=== attn-chain variants (GT shape {B}x{Np}x{C}, 8 chained) ===", flush=True)
-for mode in ("v0", "v1", "v2"):
+for mode in ("v0", "v1", "v2", "v3", "v4", "v5", "noattn"):
     timeit(mode, build(B, Np, C, heads, mode), x)

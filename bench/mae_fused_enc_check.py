@@ -94,8 +94,23 @@ def full_step_fused(p, opt_state):
                                   updates, jnp.float32(0))
 
 
+@jax.jit
+def full_step_dopt(p, opt_state):
+    """+ the TPU-shaped decoder (models/mae_decoder_opt) — the production
+    fused-CP configuration (pretrain/mae_training decoder_opt=True)."""
+    loss, grads = jax.value_and_grad(
+        lambda q: mae_train_loss_fused(
+            model, q, x, key, mm_dtype=mm, decoder_opt=True
+        )
+    )(p)
+    updates, opt_state = tx.update(grads, opt_state, p)
+    return loss + jax.tree.reduce(lambda a, q: a + q.sum().astype(jnp.float32),
+                                  updates, jnp.float32(0))
+
+
 for name, fn, args in (("enc_bwd_fused", enc_bwd_fused, (params,)),
                        ("full_step_fused", full_step_fused, (params, opt_state)),
+                       ("full_step_dopt", full_step_dopt, (params, opt_state)),
                        ("enc_bwd_xla", enc_bwd_xla, (params,))):
     t0 = time.time()
     out = fn(*args)
@@ -106,7 +121,8 @@ best = {}
 for rd in range(ROUNDS):
     for name, fn, args in (("enc_bwd_xla", enc_bwd_xla, (params,)),
                            ("enc_bwd_fused", enc_bwd_fused, (params,)),
-                           ("full_step_fused", full_step_fused, (params, opt_state))):
+                           ("full_step_fused", full_step_fused, (params, opt_state)),
+                           ("full_step_dopt", full_step_dopt, (params, opt_state))):
         t0 = time.time()
         for _ in range(3):
             out = fn(*args)
@@ -123,3 +139,7 @@ print(f"full step: fused {best['full_step_fused']:.1f} ms "
       f"({B/best['full_step_fused']*1000:.0f} clips/s); derived xla "
       f"{t_xla_full:.1f} ms -> {t_xla_full/best['full_step_fused']:.2f}x "
       f"(t_rest={t_rest:.1f} ms shared decoder+loss+Adam)")
+print(f"full step + decoder_opt: {best['full_step_dopt']:.1f} ms "
+      f"({B/best['full_step_dopt']*1000:.0f} clips/s) -> "
+      f"{t_xla_full/best['full_step_dopt']:.2f}x vs derived xla, "
+      f"{best['full_step_fused']/best['full_step_dopt']:.2f}x vs fused-enc-only")

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import math
+
 from . import reference_np as ref
 
 HIGH = jax.lax.Precision.HIGHEST
@@ -41,9 +43,9 @@ def frame_signal(x: jnp.ndarray, win: int, hop: int, Tmax: int) -> jnp.ndarray:
     r4). Here the signal is reshaped into gcd(win, hop)-sample blocks and
     each frame is win//g consecutive blocks starting at a static stride —
     win//g strided slices + one concat, pure data movement. Zero-pads x when
-    hop*(Tmax-1)+win exceeds its length (frames past the end read zeros)."""
-    import math
-
+    hop*(Tmax-1)+win exceeds its length (frames past the end read zeros);
+    samples past frame Tmax-1 are deliberately dropped (callers never read
+    frames beyond Tmax)."""
     B, P = x.shape
     g = math.gcd(win, hop)
     step, width = hop // g, win // g

@@ -94,7 +94,13 @@ def pcen(
     impl: "matmul" (default) computes the EMA smoother as one triangular
     matmul on the MXU — identical recurrence, reassociated float sums
     (~1e-6 relative vs "scan", tests/test_baseline_encoders.py).
-    "scan" is the literal serial reference (hear audio_utils.py:407-427)."""
+    "scan" is the literal serial reference (hear audio_utils.py:407-427).
+
+    The matmul form is O(T^2) memory/FLOPs — right for HeAR's T=200, wrong
+    for long sequences (and (1-s)^t underflows for very large T), so it
+    auto-falls back to "scan" past T=2048."""
+    if impl == "matmul" and E.shape[1] > 2048:
+        impl = "scan"
     if impl == "matmul":
         A = jnp.asarray(_ema_matrix(E.shape[1], s))
         M = jnp.einsum(

@@ -56,22 +56,30 @@ class FeatureExtractor:
         mesh=None,
         fast_softmax: Optional[bool] = None,
         use_fused_vit: Optional[bool] = None,
+        pallas_interpret: Optional[bool] = None,
     ):
         # use_fused_htsat: models.htsat_fused forward — fused Pallas swin
         # blocks for the bandwidth-bound stages (C<=192). 1.13x runtime at
         # f32, 1.5x with compute_dtype=bfloat16, ~4.5x faster first compile
         # (RESULTS.md). Features match the XLA path to cosine ~0.99999
         # (Mosaic transcendental approximations). None = auto: on for TPU
-        # single-chip extraction, off on CPU (interpret mode is slow) and
-        # under a mesh (pallas_call + GSPMD sharding untested).
+        # extraction — single-chip, or a pure data-parallel mesh (the jit
+        # body is shard_map'd over the data axis, so each shard runs the
+        # batch-grid kernels on its local batch; see _wrap). Off on CPU
+        # (interpret mode is slow) and under tensor-sharded meshes
+        # (in-kernel collectives would be needed).
         # compute_dtype: fused-kernel matmul input dtype. Default bfloat16
         # (f32 accumulation): 1.78x extraction throughput; feature cosine
         # vs the f32 XLA path 0.999996; 5-seed LP AUROC delta 0.006, within
         # seed noise (RESULTS.md) — comparable precision class to the
         # TF32/conv-bf16 defaults torch uses on the reference's A100. For
         # strict f32 parity: compute_dtype=jnp.float32, use_fused_htsat=False.
+        from ..parallel.mesh import dp_axis
+
+        self._dp_axis = dp_axis(mesh)
+        _pallas_ok = mesh is None or self._dp_axis is not None
         if use_fused_htsat is None:
-            use_fused_htsat = jax.default_backend() == "tpu" and mesh is None
+            use_fused_htsat = jax.default_backend() == "tpu" and _pallas_ok
         self.use_fused_htsat = use_fused_htsat
         # use_fused_vit: models.vit_fused forwards for the MAE encoders —
         # fused Pallas ViT blocks (ops.pallas_vit; full sequence in VMEM,
@@ -84,7 +92,7 @@ class FeatureExtractor:
         if use_fused_vit is None:
             use_fused_vit = (
                 jax.default_backend() == "tpu"
-                and mesh is None
+                and _pallas_ok
                 and compute_dtype == jnp.bfloat16
             )
         self.use_fused_vit = use_fused_vit and compute_dtype == jnp.bfloat16
@@ -99,10 +107,16 @@ class FeatureExtractor:
         if fast_softmax is None:
             fast_softmax = (
                 jax.default_backend() == "tpu"
-                and mesh is None
+                and _pallas_ok
                 and compute_dtype == jnp.bfloat16
             )
         self.fast_softmax = fast_softmax
+        # pallas_interpret: run the fused kernels in Pallas interpret mode
+        # (auto: off-TPU backends — lets the CPU virtual-device mesh tests
+        # exercise the shard_map'd fused paths end-to-end)
+        if pallas_interpret is None:
+            pallas_interpret = jax.default_backend() != "tpu"
+        self._interpret = pallas_interpret
         # use_pallas_mel: ops.pallas_mel fused kernel instead of the XLA mel
         # frontend (same output to ~3e-5; far faster first compile, see ops/).
         self.use_pallas_mel = use_pallas_mel
@@ -159,15 +173,40 @@ class FeatureExtractor:
             # every call over the ~50MB/s link.
             self.variables = jax.device_put(self.variables, jax.devices()[0])
         self.max_sec = 32 if "operaCT" in pretrain else None
+        self._fn_stable = None  # lazy exact-softmax fallback (_harvest)
         self._fn = self._build()
 
-    def _dispatch(self, wav: np.ndarray, lengths: np.ndarray):
+    def _dispatch(self, wav: np.ndarray, lengths: np.ndarray, fn=None):
+        fn = fn or self._fn
         if self.mesh is not None:
             from ..parallel.mesh import shard_batch
 
             wav, lengths = shard_batch((wav, lengths), self.mesh)
-            return self._fn(self.variables, wav, lengths)
-        return self._fn(self.variables, jnp.asarray(wav), jnp.asarray(lengths))
+            return fn(self.variables, wav, lengths)
+        return fn(self.variables, jnp.asarray(wav), jnp.asarray(lengths))
+
+    def _harvest(self, fut, wav=None, lengths=None) -> np.ndarray:
+        """Sync a dispatched batch to host, guarding the fast_softmax path:
+        the unstabilized softmax overflows f32 exp for attention logits
+        >~80, and every downstream op (av matmul, proj, LN, pooling) is
+        NaN-preserving — so a pathological clip surfaces as non-finite
+        features HERE, and the batch is recomputed once through the
+        stabilized-softmax graph (same fused kernels, rowwise max pass
+        restored). Matches the reference's always-exact softmax
+        (src/model/htsat/htsat.py:150-178) on exactly the inputs that need
+        it, at zero cost on the (LN-bounded, logits ~O(10)) common path."""
+        out = np.asarray(fut)
+        if (
+            self.fast_softmax
+            and wav is not None
+            and not np.isfinite(out).all()
+        ):
+            if self._fn_stable is None:
+                fast, self.fast_softmax = self.fast_softmax, False
+                self._fn_stable = self._build()
+                self.fast_softmax = fast
+            out = np.asarray(self._dispatch(wav, lengths, fn=self._fn_stable))
+        return out
 
     @staticmethod
     def _prefetch_iter(gen, depth: int = 3):
@@ -226,10 +265,43 @@ class FeatureExtractor:
         )
         return dsp.mel_frontend(wav, lengths, precision=prec)
 
+    def _wrap(self, body):
+        """jit the extraction body. With a pure data-parallel mesh and a
+        fused (Pallas) path active, the body is shard_map'd over the data
+        axis first — params replicated, batch sharded — so the batch-grid
+        kernels run per-shard on their local batch (pallas_call is not
+        GSPMD-partitionable, but it shards trivially along the grid axis).
+        Unfused mesh graphs keep plain jit: GSPMD partitions XLA ops fine."""
+        if (
+            self.mesh is not None
+            and self._dp_axis is not None
+            and (self.use_fused_htsat or self.use_fused_vit)
+        ):
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            ax = self._dp_axis
+            return jax.jit(
+                shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(P(), P(ax), P(ax)),
+                    out_specs=P(ax),
+                    # pallas_call emits no varying-mesh-axes metadata, so
+                    # the vma replication checker must be off
+                    check_vma=False,
+                )
+            )
+        return jax.jit(body)
+
     def _build(self):
         """Build the jit graph; `variables` is an explicit argument (see
         __init__ — closure constants bloat the serialized HLO)."""
         model = self.model
+        # snapshot: the bodies trace lazily (first call / new batch shape),
+        # so closing over the attribute would let _harvest's temporary flag
+        # flip leak into later traces of the stable fallback graph
+        fast_softmax = self.fast_softmax
 
         if self.is_mae or self.is_audiomae:
             # bf16 ViT blocks for the TPU extraction path (ViTBlock
@@ -263,7 +335,6 @@ class FeatureExtractor:
 
                 cfg = model.config
 
-                @jax.jit
                 def fn(variables, wav, lengths):
                     wav, lengths = self._prologue(wav, lengths)
                     fb, nf = dsp.kaldi_fbank_frontend(
@@ -271,18 +342,18 @@ class FeatureExtractor:
                     )
                     return audiomae_backbone_fused(
                         variables, fb, cfg, mm_dtype=jnp.bfloat16,
-                        fast_softmax=self.fast_softmax,
+                        fast_softmax=fast_softmax,
+                        interpret=self._interpret,
                     )
 
-                return fn
+                return self._wrap(fn)
 
-            @jax.jit
             def fn(variables, wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
                 fb, nf = dsp.kaldi_fbank_frontend(wav, lengths, precision=prec)
                 return model.apply(variables, fb)
 
-            return fn
+            return self._wrap(fn)
 
         if self.is_mae:  # operaGT
 
@@ -291,19 +362,18 @@ class FeatureExtractor:
 
                 cfg = model.config
 
-                @jax.jit
                 def fn(variables, wav, lengths):
                     wav, lengths = self._prologue(wav, lengths)
                     mel, nf = self._mel(wav, lengths)
                     mel = mel[:, :256]
                     return mae_forward_feature_fused(
                         variables, mel, cfg, mm_dtype=jnp.bfloat16,
-                        fast_softmax=self.fast_softmax,
+                        fast_softmax=fast_softmax,
+                        interpret=self._interpret,
                     )
 
-                return fn
+                return self._wrap(fn)
 
-            @jax.jit
             def fn(variables, wav, lengths):
                 wav, lengths = self._prologue(wav, lengths)
                 mel, nf = self._mel(wav, lengths)
@@ -312,7 +382,7 @@ class FeatureExtractor:
                     variables, mel, method=MaskedAutoencoderViT.forward_feature
                 )
 
-            return fn
+            return self._wrap(fn)
 
         dim = self.dim
 
@@ -322,7 +392,6 @@ class FeatureExtractor:
 
             mm_dtype = self.compute_dtype
 
-            @jax.jit
             def fn(variables, wav, lengths):
                 enc_vars = {
                     "params": variables["params"]["encoder"],
@@ -332,12 +401,12 @@ class FeatureExtractor:
                 mel, nf = self._mel(wav, lengths)
                 return htsat_apply_fused(
                     enc_vars, mel, nf, HTSATConfig(), mm_dtype=mm_dtype,
-                    fast_softmax=self.fast_softmax,
+                    fast_softmax=fast_softmax,
+                    interpret=self._interpret,
                 )
 
-            return fn
+            return self._wrap(fn)
 
-        @jax.jit
         def fn(variables, wav, lengths):
             wav, lengths = self._prologue(wav, lengths)
             mel, nf = self._mel(wav, lengths)
@@ -345,7 +414,7 @@ class FeatureExtractor:
                 variables, mel, dim, nf, method=Cola.extract_feature
             )
 
-        return fn
+        return self._wrap(fn)
 
     # -- host orchestration ----------------------------------------------------
     @property
@@ -434,12 +503,12 @@ class FeatureExtractor:
         for lo, k, wav, lengths in self._prefetch_iter(packed()):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
-                plo, pk, pf = pending
-                out[plo : plo + pk] = np.asarray(pf)[:pk]
-            pending = (lo, k, fut)
+                plo, pk, pf, pw, pl = pending
+                out[plo : plo + pk] = self._harvest(pf, pw, pl)[:pk]
+            pending = (lo, k, fut, wav, lengths)
         if pending is not None:
-            plo, pk, pf = pending
-            out[plo : plo + pk] = np.asarray(pf)[:pk]
+            plo, pk, pf, pw, pl = pending
+            out[plo : plo + pk] = self._harvest(pf, pw, pl)[:pk]
         return out
 
     def extract_waveforms(
@@ -467,12 +536,12 @@ class FeatureExtractor:
         for n, wav, lengths in self._prefetch_iter(packed()):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
-                pf, pn = pending
-                out.append(np.asarray(pf)[:pn])
-            pending = (fut, n)
+                pf, pn, pw, pl = pending
+                out.append(self._harvest(pf, pw, pl)[:pn])
+            pending = (fut, n, wav, lengths)
         if pending is not None:
-            pf, pn = pending
-            out.append(np.asarray(pf)[:pn])
+            pf, pn, pw, pl = pending
+            out.append(self._harvest(pf, pw, pl)[:pn])
         return np.concatenate(out, axis=0)
 
     # chunked models (operaGT / audiomae)
@@ -518,12 +587,12 @@ class FeatureExtractor:
             wav = wire.encode_np(wav, self.wire)
             fut = self._dispatch(wav, lengths)
             if pending is not None:
-                pf, pn = pending
-                out.append(np.asarray(pf)[:pn])
-            pending = (fut, hi - lo)
+                pf, pn, pw, pl = pending
+                out.append(self._harvest(pf, pw, pl)[:pn])
+            pending = (fut, hi - lo, wav, lengths)
         if pending is not None:
-            pf, pn = pending
-            out.append(np.asarray(pf)[:pn])
+            pf, pn, pw, pl = pending
+            out.append(self._harvest(pf, pw, pl)[:pn])
         return np.concatenate(out, axis=0)
 
 

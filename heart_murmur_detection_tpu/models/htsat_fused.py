@@ -85,6 +85,7 @@ def htsat_apply_fused(
     fast_softmax: bool = False,
     act_dtype=None,
     use_split: bool = True,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """mel (B, T, F) [+ per-clip frame counts] -> latent_output (B, 768).
 
@@ -199,6 +200,7 @@ def htsat_apply_fused(
                     block_bias(p), block_bias(p2), mask,
                     window=window, num_heads=heads, shift=shift_next,
                     mm_dtype=mm_dtype, fast_softmax=fast_softmax,
+                    interpret=interpret,
                 )
                 x = xs.reshape(B, H * W, dim)
                 b += 2
@@ -217,6 +219,7 @@ def htsat_apply_fused(
                 xs = block_fn(
                     xs, p, bias, mask, window=window, num_heads=heads,
                     mm_dtype=mm_dtype, roll_w=shift, fast_softmax=fast_softmax,
+                    interpret=interpret,
                 )
                 if shift:
                     xs = jnp.roll(xs, shift, axis=1)

@@ -105,11 +105,19 @@ def _block_jnp_train(x, p, H, W, heads, window, shift, bias, mask, k1, k2):
     return x + k2[:, :, None] * m
 
 
-def bn_train(x, bn_params, bn_stats, momentum=0.9, eps=1e-5, axes=(0, 1)):
+def bn_train(x, bn_params, bn_stats, momentum=0.9, eps=1e-5, axes=(0, 1),
+             axis_name=None):
     """flax BatchNorm train mode over `axes`: normalize with batch stats,
-    return (y, new_running_stats)."""
+    return (y, new_running_stats). axis_name: also reduce the moments over
+    that mesh axis (sync-BN for the data-parallel shard_map path) — the
+    global variance is recovered from per-shard E[x] / E[x^2], exact for
+    equal shard sizes."""
     bm = x.mean(axes)
     bv = ((x - bm) ** 2).mean(axes)  # biased, like flax
+    if axis_name is not None:
+        ex2 = jax.lax.pmean(bv + bm * bm, axis_name)
+        bm = jax.lax.pmean(bm, axis_name)
+        bv = ex2 - bm * bm
     y = (x - bm) * jax.lax.rsqrt(bv + eps) * bn_params["scale"] + bn_params["bias"]
     new = {
         "mean": momentum * bn_stats["mean"] + (1.0 - momentum) * jax.lax.stop_gradient(bm),
@@ -128,12 +136,15 @@ def htsat_encode_train(
     max_fused_dim: Optional[int] = None,
     deterministic: bool = False,
     interpret: bool = False,
+    axis_name=None,
 ):
     """mel (B, T, F) -> (latent (B, 768), new bn0 batch_stats dict).
 
     variables: the HTSAT subtree ({'params': ..., 'batch_stats': ...}).
     deterministic=True keeps droppath multipliers at 1 (for parity tests);
     bn0 still normalizes with batch statistics (train-mode semantics).
+    axis_name: reduce the bn0 batch moments over that mesh axis too
+    (sync-BN for the data-parallel shard_map train path).
     """
     if max_fused_dim is None:
         max_fused_dim = 384
@@ -145,7 +156,8 @@ def htsat_encode_train(
     stats = variables["batch_stats"]
     B, T, F = mel.shape
 
-    x, new_bn0 = bn_train(mel, params["bn0"], stats["bn0"])
+    x, new_bn0 = bn_train(mel, params["bn0"], stats["bn0"],
+                          axis_name=axis_name)
 
     target_T = cfg.spec_size * cfg.freq_ratio
     if n_frames is None:
@@ -240,6 +252,7 @@ def cola_train_apply(
     max_fused_dim: Optional[int] = None,
     deterministic: bool = False,
     interpret: bool = False,
+    axis_name=None,
 ):
     """Cola.__call__ train-mode semantics with the fused htsat encoder:
     pair (x1, x2) -> ((z1 @ W, z2), new_batch_stats).
@@ -256,17 +269,22 @@ def cola_train_apply(
         "params": params["encoder"],
         "batch_stats": variables["batch_stats"]["encoder"],
     }
+    if axis_name is not None:
+        # per-shard independent dropout/droppath draws (statistically the
+        # same policy as one global draw; bit-equality with the
+        # single-device run holds when the rates are 0)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
     rng, re1, re2 = jax.random.split(rng, 3)
     h1, bs1 = htsat_encode_train(
         enc_vars, x1, re1, cfg=cfg, mm_dtype=mm_dtype,
         max_fused_dim=max_fused_dim, deterministic=deterministic,
-        interpret=interpret,
+        interpret=interpret, axis_name=axis_name,
     )
     enc_vars = {"params": params["encoder"], "batch_stats": bs1}
     h2, bs2 = htsat_encode_train(
         enc_vars, x2, re2, cfg=cfg, mm_dtype=mm_dtype,
         max_fused_dim=max_fused_dim, deterministic=deterministic,
-        interpret=interpret,
+        interpret=interpret, axis_name=axis_name,
     )
 
     def project(h, rng):

@@ -42,12 +42,16 @@ def mae_encode_train_fused(
     mm_dtype=jnp.float32,
     q_chunk: int = 128,
     interpret: bool = False,
+    noise=None,
 ):
     """Masked encoder forward with fused differentiable blocks.
 
     x (B, H, W) spectrogram -> (h (B, 1+len_keep, D) post-norm tokens,
     mask (B, L), ids_restore (B, L)). RNG semantics identical to
-    MaskedAutoencoderViT.random_masking.
+    MaskedAutoencoderViT.random_masking. `noise` (B, L) overrides the
+    in-function uniform draw — the data-parallel shard_map path hoists the
+    draw outside the shard so each shard sees exactly the rows the
+    single-device run would (pretrain/mae_training.py).
     """
     act_dtype = jnp.bfloat16 if mm_dtype == jnp.bfloat16 else jnp.float32
     pe = params["patch_embed_proj"]
@@ -63,7 +67,8 @@ def mae_encode_train_fused(
 
     B, L, D = h.shape
     len_keep = int(L * (1 - cfg.mask_ratio))
-    noise = jax.random.uniform(rng, (B, L))
+    if noise is None:
+        noise = jax.random.uniform(rng, (B, L))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
@@ -171,19 +176,31 @@ def mae_train_loss_fused(
     mm_dtype=jnp.float32,
     q_chunk: int = 128,
     interpret: bool = False,
+    noise=None,
+    decoder_opt: bool = False,
 ):
     """Full CP training loss with the fused encoder; decoder + masked MSE in
-    XLA via model.apply(method=forward_decoder). Equals
+    XLA via model.apply(method=forward_decoder), or — decoder_opt=True, the
+    TPU production policy — via models.mae_decoder_opt.decoder_forward_opt
+    (packed-window bf16 swin-v2-cr blocks; the decoder is ~95% of the step
+    at f32, bench/mae_fused_enc_check.py round 5). Equals
     model.apply({'params': params}, x, rng=rng)[0] to the documented fused
     train-kernel precision class."""
     cfg = model.config
     h, mask, ids_restore = mae_encode_train_fused(
         params, x, rng, cfg, mm_dtype=mm_dtype, q_chunk=q_chunk,
-        interpret=interpret,
+        interpret=interpret, noise=noise,
     )
-    pred = model.apply(
-        {"params": params}, h, ids_restore, method=model.forward_decoder
-    )
+    if decoder_opt:
+        from .mae_decoder_opt import decoder_forward_opt
+
+        pred = decoder_forward_opt(
+            params, h, ids_restore, cfg, mm_dtype=mm_dtype
+        )
+    else:
+        pred = model.apply(
+            {"params": params}, h, ids_restore, method=model.forward_decoder
+        )
     p = cfg.patch_size
     B, H, W = x.shape
     target = (

@@ -110,20 +110,30 @@ def _attn_half(x, n_real, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
             s = jnp.where(col < n_real, s, -1e9)
         if fast_softmax:
             # skip the rowwise max pass — one fewer full sweep of the score
-            # chunk. Exact while logits < 88 (f32 exp overflow); the masked
-            # -1e9 columns underflow to literal zeros either way. Same
+            # chunk — and normalize AFTER the av matmul: out = (e @ v) * 1/sum
+            # touches (qc, hd) elements instead of rewriting the (qc, Np)
+            # score chunk (measured +2-3% on the GT attn half,
+            # bench/gt_attn_opt.py v3/v4). Exact while logits < ~80 (f32
+            # overflow of the unnormalized e-sums against exp(88)·|v|); the
+            # masked -1e9 columns underflow to literal zeros either way. Same
             # policy/acceptance bar as ops.pallas_swin fast_softmax.
             e = jnp.exp(s)
-            s = e / jnp.sum(e, axis=-1, keepdims=True)
-        else:
-            s = jax.nn.softmax(s, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                mm(s), mm(vs),
+            recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            av = jax.lax.dot_general(
+                mm(e), mm(vs),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 precision=prec, preferred_element_type=jnp.float32,
-            ).astype(act_dtype)
-        )
+            )
+            outs.append((av * recip).astype(act_dtype))
+        else:
+            s = jax.nn.softmax(s, axis=-1)
+            outs.append(
+                jax.lax.dot_general(
+                    mm(s), mm(vs),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    precision=prec, preferred_element_type=jnp.float32,
+                ).astype(act_dtype)
+            )
     ost = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     o = jnp.concatenate(
         [ost[hh * bb : (hh + 1) * bb] for hh in range(heads)], axis=-1

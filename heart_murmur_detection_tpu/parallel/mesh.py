@@ -36,6 +36,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def dp_axis(mesh) -> Optional[str]:
+    """The data-axis name if `mesh` is 1-D pure data parallelism (no tensor
+    axis), else None. Gates the shard_map-wrapped Pallas paths: batch-grid
+    kernels shard trivially over the data axis (each shard runs the
+    single-device kernel on its local batch), while tensor-sharded params
+    would need in-kernel collectives — those meshes keep the XLA graphs."""
+    if mesh is None or len(mesh.axis_names) != 1:
+        return None
+    return mesh.axis_names[0]
+
+
 def data_parallel_mesh(
     n_devices: Optional[int] = None, axis_name: str = "data"
 ) -> Mesh:

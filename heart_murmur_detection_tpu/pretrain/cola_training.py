@@ -62,6 +62,7 @@ def train_multiple_data(
     resume: bool = False,
     compute_dtype=None,
     fused_train=None,
+    dropout_p: float = 0.1,
 ):
     # compute_dtype=jnp.bfloat16 -> mixed-precision encoder compute (bf16
     # matmuls/convs, f32 norms/softmax/residual carries; f32 params +
@@ -75,7 +76,7 @@ def train_multiple_data(
     model = Cola(
         ColaConfig(
             encoder=encoder, dim_fea=dim_fea, dim_hidden=dim_hidden,
-            dim_out=dim_out,
+            dim_out=dim_out, p=dropout_p,
             compute_dtype=compute_dtype if encoder == "efficientnet" else None,
         ),
         **kw,
@@ -118,18 +119,25 @@ def train_multiple_data(
     # fused_train: run the encoder fwd+bwd through the custom-VJP Pallas
     # train kernels (models/htsat_train_fused, ops/pallas_swin_train) —
     # 1.85x the bf16 XLA step at B=64 (RESULTS.md "CP training-path
-    # kernels"). Auto (None): on for the single-chip htsat TPU path at
-    # bf16 (at f32 the step win is ~4% against minutes of extra kernel
-    # compile; Pallas under a sharded jit needs shard_map, so the mesh
-    # path stays XLA), off elsewhere.
+    # kernels"). Auto (None): on for the bf16 htsat TPU path — single-chip,
+    # or a pure data-parallel mesh: the pair forward is shard_map'd over
+    # the data axis (params replicated, batch sharded; bn0 moments sync'd
+    # with pmean, per-shard dropout rngs), the contrastive loss — which
+    # couples the FULL batch through in-batch negatives — stays outside in
+    # GSPMD-land, and shard_map's transpose inserts the grad psum. Tensor-
+    # sharded meshes keep the XLA step (at f32 the step win is ~4% against
+    # minutes of extra kernel compile).
     _bf16_path = compute_dtype == jnp.bfloat16 or (
         htsat_config is not None
         and getattr(htsat_config, "compute_dtype", None) == jnp.bfloat16
     )
+    from ..parallel.mesh import dp_axis
+
+    _dpax = dp_axis(mesh)
     if fused_train is None:
         fused_train = (
             encoder == "htsat"
-            and mesh is None
+            and (mesh is None or (_dpax is not None and param_sharding is None))
             and _bf16_path
             and jax.default_backend() == "tpu"
         )
@@ -142,12 +150,41 @@ def train_multiple_data(
         # explicit fused_train=True off-TPU -> interpret mode (CPU tests)
         interp = jax.default_backend() != "tpu"
 
-        def apply_pair(p, bstats, pair, rng):
-            return cola_train_apply(
-                {"params": p, "batch_stats": bstats}, pair, rng,
-                p_drop=model.config.p, cfg=hcfg, mm_dtype=mm,
-                interpret=interp,
+        if mesh is not None:
+            if _dpax is None or param_sharding is not None:
+                raise ValueError(
+                    "fused_train under a mesh needs pure data parallelism "
+                    "(1-D data mesh, no param_sharding); Pallas kernels "
+                    "cannot run under tensor-sharded GSPMD"
+                )
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def _local_pair(p, bstats, x1, x2, rng):
+                return cola_train_apply(
+                    {"params": p, "batch_stats": bstats}, (x1, x2), rng,
+                    p_drop=model.config.p, cfg=hcfg, mm_dtype=mm,
+                    interpret=interp, axis_name=_dpax,
+                )
+
+            _sm_pair = shard_map(
+                _local_pair, mesh=mesh,
+                in_specs=(P(), P(), P(_dpax), P(_dpax), P()),
+                out_specs=((P(_dpax), P(_dpax)), P()),
+                check_vma=False,  # pallas_call emits no vma metadata
             )
+
+            def apply_pair(p, bstats, pair, rng):
+                return _sm_pair(p, bstats, pair[0], pair[1], rng)
+
+        else:
+
+            def apply_pair(p, bstats, pair, rng):
+                return cola_train_apply(
+                    {"params": p, "batch_stats": bstats}, pair, rng,
+                    p_drop=model.config.p, cfg=hcfg, mm_dtype=mm,
+                    interpret=interp,
+                )
 
     else:
 

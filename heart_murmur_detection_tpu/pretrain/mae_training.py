@@ -89,14 +89,20 @@ def mae_train_multiple_data(
     tx = steps.adam_with_epoch_decay(sampler.steps_per_epoch, lr=lr, decay=0.99)
     # fused_train: run the encoder fwd+bwd through the custom-VJP Pallas ViT
     # train kernels (models/mae_train_fused, ops/pallas_vit_train). Auto
-    # (None): on for the single-chip bf16 TPU path, mirroring the COLA flag
-    # (pretrain/cola_training.py) — Pallas under a sharded jit needs
-    # shard_map, so the mesh path stays XLA; at f32 the win loses to the
-    # extra kernel compile through the remote-compile link.
+    # (None): on for the bf16 TPU path — single-chip, or a pure
+    # data-parallel mesh (the loss is shard_map'd over the data axis with
+    # the masking noise hoisted outside the shard, so each shard computes
+    # the exact rows the single-device run would and the grad psum comes
+    # from shard_map's transpose). Tensor-sharded meshes (param_sharding)
+    # keep the XLA step; at f32 the win loses to the extra kernel compile
+    # through the remote-compile link.
+    from ..parallel.mesh import dp_axis
+
+    _dpax = dp_axis(mesh)
     if fused_train is None:
         fused_train = (
             compute_dtype == jnp.bfloat16
-            and mesh is None
+            and (mesh is None or (_dpax is not None and param_sharding is None))
             and jax.default_backend() == "tpu"
         )
     if fused_train:
@@ -104,9 +110,43 @@ def mae_train_multiple_data(
 
         mm = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
         interp = jax.default_backend() != "tpu"
-        loss_fn = lambda p, x, rng: mae_train_loss_fused(
-            model, p, x, rng, mm_dtype=mm, interpret=interp
-        )
+        if mesh is not None:
+            if _dpax is None or param_sharding is not None:
+                raise ValueError(
+                    "fused_train under a mesh needs pure data parallelism "
+                    "(1-D data mesh, no param_sharding); Pallas kernels "
+                    "cannot run under tensor-sharded GSPMD"
+                )
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            L = cfg.patch_hw[0] * cfg.patch_hw[1]
+
+            def _local_loss(p, x, noise):
+                loss = mae_train_loss_fused(
+                    model, p, x, None, mm_dtype=mm, interpret=interp,
+                    noise=noise, decoder_opt=True,
+                )
+                # equal shard sizes and a deterministic per-row mask count
+                # (len_keep is static) make the pmean of per-shard means
+                # exactly the global masked mean
+                return jax.lax.pmean(loss, _dpax)
+
+            _sharded = shard_map(
+                _local_loss, mesh=mesh,
+                in_specs=(P(), P(_dpax), P(_dpax)), out_specs=P(),
+                check_vma=False,  # pallas_call emits no vma metadata
+            )
+
+            def loss_fn(p, x, rng):
+                noise = jax.random.uniform(rng, (x.shape[0], L))
+                return _sharded(p, x, noise)
+
+        else:
+            loss_fn = lambda p, x, rng: mae_train_loss_fused(
+                model, p, x, rng, mm_dtype=mm, interpret=interp,
+                decoder_opt=True,
+            )
         train_step = steps.make_mae_train_step(model, tx, loss_fn=loss_fn)
     else:
         # ZeRO-3 gathers weights at use (see steps.make_mae_train_step)

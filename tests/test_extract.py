@@ -132,3 +132,42 @@ def test_prefetch_iter_order_and_errors():
     else:
         raise AssertionError("worker exception not propagated")
     assert out == [1, 2]
+
+
+def test_fast_softmax_guard_recovers_adversarial_scale():
+    """fast_softmax skips the rowwise max pass, so attention logits past the
+    f32 exp range (~88; ~80 with normalize-after-av) overflow to inf and the
+    NaN reaches the features. The _harvest guard must detect the non-finite
+    batch and recompute it through the stabilized-softmax graph — no silent
+    NaN path (round-4 weak #6; the reference always computes exact softmax,
+    src/model/htsat/htsat.py:150-178)."""
+    import jax
+    import jax.numpy as jnp
+
+    from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+
+    r = np.random.default_rng(0)
+    clips = [
+        (r.standard_normal(8 * 16000) * 0.1).astype(np.float32)
+        for _ in range(4)
+    ]
+    kw = dict(dim=768, input_sec=8, random_init=True, batch_size=4,
+              compute_dtype=jnp.float32, use_fused_htsat=True,
+              pallas_interpret=True)
+    ex = FeatureExtractor("operaCT", **kw, fast_softmax=True)
+    # blow up the stage-0 attention logits: scale qkv -> logits scale ^2
+    v = jax.device_get(ex.variables)
+    blk = v["params"]["encoder"]["layers_0_blocks_0"]["attn"]["qkv"]
+    blk["kernel"] = np.asarray(blk["kernel"]) * 400.0
+    ex.variables = jax.device_put(v)
+    feats = ex.extract_waveforms(list(clips), max_len=8 * 16000)
+    assert np.isfinite(feats).all()
+    assert ex._fn_stable is not None  # the guard actually fired
+
+    # the recovered features equal the always-stabilized run bit-for-bit
+    # (same fused kernels, same weights — only the softmax form differs)
+    ex2 = FeatureExtractor("operaCT", **kw, fast_softmax=False)
+    ex2.variables = jax.device_put(v)
+    ex2._fn = ex2._build()
+    f2 = ex2.extract_waveforms(list(clips), max_len=8 * 16000)
+    np.testing.assert_allclose(feats, f2, rtol=1e-5, atol=1e-6)

@@ -149,6 +149,125 @@ def test_sharded_extraction_matches_unsharded():
     np.testing.assert_allclose(f0, f8, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_fused_extraction_matches_unsharded():
+    """The fused Pallas extraction path under a pure-DP mesh (shard_map over
+    the data axis, kernels in interpret mode on the virtual devices) must
+    match the single-device unfused f32 graph — the batch-grid kernels shard
+    trivially; this pins the shard_map wrapper's in/out specs and the lifted
+    `mesh is None` gate (round-4 weak #4)."""
+    import jax.numpy as jnp
+
+    from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
+
+    mesh = data_parallel_mesh(8)
+    r = np.random.default_rng(3)
+    clips = [
+        (r.standard_normal(int(8 * 16000)) * 0.1).astype(np.float32)
+        for _ in range(8)
+    ]
+    kw = dict(dim=768, input_sec=8, random_init=True, batch_size=8,
+              compute_dtype=jnp.float32)
+    ex0 = FeatureExtractor("operaCT", **kw)  # CPU auto: unfused XLA
+    assert not ex0.use_fused_htsat
+    exf = FeatureExtractor(
+        "operaCT", **kw, mesh=mesh, use_fused_htsat=True, pallas_interpret=True
+    )
+    assert exf.use_fused_htsat and exf._dp_axis == "data"
+    exf.variables = put_replicated(jax.device_get(ex0.variables), mesh)
+    exf._fn = exf._build()
+    f0 = ex0.extract_waveforms(list(clips), max_len=8 * 16000)
+    ff = exf.extract_waveforms(list(clips), max_len=8 * 16000)
+    assert f0.shape == ff.shape == (8, 768)
+    # fused-kernel numerics class vs the flax graph (~1e-4, PARITY.md)
+    np.testing.assert_allclose(f0, ff, rtol=2e-3, atol=2e-4)
+
+
+def test_dp_fused_cola_cp_matches_single_device(tmp_path):
+    """fused_train over the pure-DP mesh (shard_map pair forward, sync-BN
+    moments, loss outside) == the single-device fused run, with dropout and
+    droppath rates zeroed so the per-shard rng fold-in is inert."""
+    import dataclasses
+
+    tiny0 = dataclasses.replace(TINY, drop_path_rate=0.0)
+
+    def run(mesh_, tag):
+        _, history, _ = train_multiple_data(
+            f"dpf-{tag}",
+            data_source={"t": 32},
+            encoder="htsat",
+            htsat_config=tiny0,
+            n_epoches=2,
+            batch_size=8,
+            corpora=[_tiny_corpus()],
+            mesh=mesh_,
+            fused_train=True,
+            dropout_p=0.0,
+            ckpt_root=str(tmp_path / f"cks-{tag}"),
+            log_dir=str(tmp_path / f"logs-{tag}"),
+            verbose=False,
+        )
+        return history
+
+    h_dp = run(data_parallel_mesh(8), "mesh")
+    h_sd = run(None, "single")
+    assert np.isfinite(h_dp[-1]["train_loss"])
+    np.testing.assert_allclose(
+        h_dp[-1]["train_loss"], h_sd[-1]["train_loss"], rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        h_dp[-1]["valid_loss"], h_sd[-1]["valid_loss"], rtol=2e-4
+    )
+
+    # fused_train with tensor-sharded params is a config error, not a
+    # silent fallback
+    with pytest.raises(ValueError, match="pure data parallelism"):
+        run_kw = dict(
+            data_source={"t": 32}, encoder="htsat", htsat_config=tiny0,
+            n_epoches=1, batch_size=8, corpora=[_tiny_corpus()],
+            mesh=mesh_2d(2, 2), param_sharding="megatron", fused_train=True,
+            ckpt_root=str(tmp_path / "cks-err"),
+            log_dir=str(tmp_path / "logs-err"), verbose=False,
+        )
+        train_multiple_data("dpf-err", **run_kw)
+
+
+def test_dp_fused_mae_cp_matches_single_device(tmp_path):
+    """fused_train MAE CP over the pure-DP mesh (shard_map'd loss with the
+    masking noise hoisted outside the shard) == the single-device fused run
+    — each shard sees exactly the noise rows the global draw produced."""
+    from heart_murmur_detection_tpu.pretrain.mae_training import (
+        mae_train_multiple_data,
+    )
+    from tests.test_pretrain import TINY_MAE, synth_corpus
+
+    def run(mesh_, tag):
+        c = synth_corpus("a", 48, 20, 40, 16, 32, seed=5)
+        _, history, _ = mae_train_multiple_data(
+            f"dpfm-{tag}",
+            data_source={"a": 32},
+            n_epoches=1,
+            batch_size=4,
+            corpora=[c],
+            config_override=TINY_MAE,
+            mesh=mesh_,
+            fused_train=True,
+            ckpt_root=str(tmp_path / f"cks-{tag}"),
+            log_dir=str(tmp_path / f"logs-{tag}"),
+            verbose=False,
+        )
+        return history
+
+    h_dp = run(data_parallel_mesh(4), "mesh")
+    h_sd = run(None, "single")
+    assert np.isfinite(h_dp[-1]["train_loss"])
+    np.testing.assert_allclose(
+        h_dp[-1]["train_loss"], h_sd[-1]["train_loss"], rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        h_dp[-1]["valid_loss"], h_sd[-1]["valid_loss"], rtol=2e-4
+    )
+
+
 def test_extractor_rejects_indivisible_batch():
     from heart_murmur_detection_tpu.extract.extract import FeatureExtractor
 
