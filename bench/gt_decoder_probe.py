@@ -67,6 +67,39 @@ def block(x, p, shift, variant):
 
     if variant == "noattn":
         o = q[..., :Cx]
+    elif variant in ("bdims", "bdims_nonorm"):
+        # no head-concat relayouts: reshape lanes (C -> nh, hd) and batch the
+        # dot_general over (instance, head)
+        q4 = q.reshape(inst, G * N, nh, hd)
+        k4 = k.reshape(inst, G * N, nh, hd)
+        v4 = v.reshape(inst, G * N, nh, hd)
+        if variant == "bdims":
+            tau = jnp.clip(p["attn"]["tau"], 0.01, None)
+            qn = jnp.sqrt(jnp.sum(q4 * q4, -1, keepdims=True))
+            kn = jnp.sqrt(jnp.sum(k4 * k4, -1, keepdims=True))
+            q4 = q4 / jnp.maximum(qn, 1e-3) / tau[None, None, :, None]
+            k4 = k4 / jnp.maximum(kn, 1e-3)
+        s = jax.lax.dot_general(
+            mm(q4), mm(k4),
+            dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )  # (inst, nh, GN, GN)
+        bias = _meta_bias(p["attn"], (wh, ww), nh)
+        eye = jnp.asarray(np.eye(G, dtype=np.float32))
+        bd_bias = jnp.einsum("gh,nij->ngihj", eye, bias).reshape(nh, G * N, G * N)
+        bd_mask = jnp.asarray(_pack_mask_np(H, W, (wh, ww), (sh, sw), G))
+        nWg = nW // G
+        s = (
+            s.reshape(Bx, nWg, nh, G * N, G * N)
+            + bd_bias[None, None] + bd_mask[None, :, None]
+        ).reshape(inst, nh, G * N, G * N)
+        s = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            mm(s), mm(v4),
+            dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
+            preferred_element_type=jnp.float32,
+        )  # (inst, nh, GN, hd)
+        o = o.transpose(0, 2, 1, 3).reshape(inst, G * N, Cx)
     else:
         if variant == "lanenorm":
             tau = jnp.clip(p["attn"]["tau"], 0.01, None)
@@ -132,7 +165,7 @@ def make(variant):
 
     @jax.jit
     def f(p, x):
-        l, g = jax.value_and_grad(dec)(p)
+        l, g = jax.value_and_grad(dec)(p, x)
         return l + jax.tree.reduce(
             lambda a, q: a + q.sum().astype(jnp.float32), g, jnp.float32(0)
         )
@@ -140,7 +173,7 @@ def make(variant):
 
 
 best = {}
-fns = {v: make(v) for v in ("full", "noattn", "nonorm", "lanenorm")}
+fns = {v: make(v) for v in ("full", "noattn", "bdims", "bdims_nonorm")}
 for v, f in fns.items():
     t0 = time.time()
     np.asarray(f(params, x0))
