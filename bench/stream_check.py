@@ -120,9 +120,24 @@ def run_feeder(depth, workers=1):
     return n_batches * BATCH / (time.time() - t0)
 
 
+def run_puts_only():
+    """Same-window link bound: the identical batches device_put back-to-back
+    with NO compute — what the relay alone sustains right now."""
+    w = pack()
+    t0 = time.time()
+    arrs = []
+    for _ in range(n_batches):
+        arrs.append(jax.device_put(w, dev))
+    for a in arrs:
+        a.block_until_ready()
+    jax.block_until_ready(arrs[-1])
+    return n_batches * BATCH / (time.time() - t0)
+
+
 results = {}
 for rd in range(3):
     for name, fn in (
+        ("puts_only_bound", run_puts_only),
         ("current_1deep", run_current),
         ("feeder_d2", lambda: run_feeder(2)),
         ("feeder_d3", lambda: run_feeder(3)),

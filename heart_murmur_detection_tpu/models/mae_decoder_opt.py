@@ -150,44 +150,45 @@ def swin_v2_cr_block_opt(x, p, H: int, W: int, nh: int,
 
     qkv = _dense(hw, p["attn"]["qkv"], mm)  # (inst, GN, 3C) f32
     q, k, v = jnp.split(qkv, 3, axis=-1)
-
-    def heads(t):  # (inst, GN, C) -> (inst*nh, GN, hd), head-major
-        return jnp.concatenate(
-            [t[:, :, i * hd:(i + 1) * hd] for i in range(nh)], axis=0
-        )
-
-    q, k, v = heads(q), heads(k), heads(v)
+    inst = B * nW // G
+    # NO head-concat relayouts: reinterpret the lane dim as (nh, hd) and
+    # batch the dot_generals over (instance, head). The head-major
+    # concat-to-batch-axis form measured 211 vs 135 ms for the 16-block
+    # decoder fwd+bwd at B=32 (bench/gt_decoder_probe.py 'bdims') — the
+    # per-head lane-slice concats of (.., hd=16) tensors were ~35% of the
+    # block.
+    q = q.reshape(inst, G * N, nh, hd)
+    k = k.reshape(inst, G * N, nh, hd)
+    v = v.reshape(inst, G * N, nh, hd)
     # cosine attention, normalize-first (floor per factor; equal to the
     # reference's max(|q||k|, 1e-6) joint floor for non-degenerate vectors),
     # with 1/clip(tau) folded into q
     qn = jnp.sqrt(jnp.sum(q * q, -1, keepdims=True))
     kn = jnp.sqrt(jnp.sum(k * k, -1, keepdims=True))
     tau = jnp.clip(p["attn"]["tau"], 0.01, None)  # (nh,)
-    inv_tau = jnp.repeat(1.0 / tau, B * nW // G)[:, None, None]
-    q = q / jnp.maximum(qn, 1e-3) * inv_tau
+    q = q / jnp.maximum(qn, 1e-3) / tau[None, None, :, None]
     k = k / jnp.maximum(kn, 1e-3)
     s = jax.lax.dot_general(
         mm(q), mm(k),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        dimension_numbers=(((3,), (3,)), ((0, 2), (0, 2))),
         preferred_element_type=jnp.float32,
-    )  # (inst*nh, GN, GN)
+    )  # (inst, nh, GN, GN)
 
     bias = _meta_bias(p["attn"], (wh, ww), nh)  # (nh, N, N)
     eye = jnp.asarray(np.eye(G, dtype=np.float32))
     bd_bias = jnp.einsum("gh,nij->ngihj", eye, bias).reshape(nh, G * N, G * N)
     bd_mask = jnp.asarray(_pack_mask_np(H, W, (wh, ww), (sh, sw), G))
-    add = bd_bias[:, None, None] + bd_mask[None, None]  # (nh, 1, nW/G, GN, GN)
-    s = (s.reshape(nh, B, nW // G, G * N, G * N) + add).reshape(s.shape)
+    s = (
+        s.reshape(B, nW // G, nh, G * N, G * N)
+        + bd_bias[None, None] + bd_mask[None, :, None]
+    ).reshape(s.shape)
     s = jax.nn.softmax(s, axis=-1)
     o = jax.lax.dot_general(
         mm(s), mm(v),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dimension_numbers=(((3,), (1,)), ((0, 1), (0, 2))),
         preferred_element_type=jnp.float32,
-    )  # (inst*nh, GN, hd)
-    inst = B * nW // G
-    o = jnp.concatenate(
-        [o[i * inst:(i + 1) * inst] for i in range(nh)], axis=-1
-    )  # (inst, GN, C)
+    )  # (inst, nh, GN, hd)
+    o = o.transpose(0, 2, 1, 3).reshape(inst, G * N, C)
     o = _dense(o, p["attn"]["proj"], mm)
     # window reverse
     h = (
