@@ -164,6 +164,22 @@ def main():
         len4j,
     )
 
+    # (d) mu-law wire at source rate: 1 B/sample halves the link bytes again
+    # (~38 dB SNR companding, drift pinned in tests/test_wire.py) — the
+    # round-5 streaming measurement showed the int16@4k path already within
+    # ~92% of the same-window link bound, so the remaining lever is bytes
+    @jax.jit
+    def batched_mulaw_4k(wav8, lengths):
+        w = resample_poly_device(wire.decode_device(wav8, "mulaw"), 4)
+        return batched(w, lengths * 4)
+
+    def _pack_mulaw():
+        w, _ = dsp.pad_batch(clips4k[:BATCH], pad_to_multiple=128, max_len=max_len4)
+        return wire.encode_np(w, "mulaw")
+
+    np.asarray(batched_mulaw_4k(jnp.asarray(_pack_mulaw()), len4j))  # warm
+    streaming_mulaw = _stream(_pack_mulaw, batched_mulaw_4k, len4j)
+
     # MFU: analytic FLOPs/batch from XLA's cost model on the exact-f32 XLA
     # graph (identical math to the fused bf16 graph; Pallas custom calls
     # would under-count, so the unfused graph is the one analyzed). Peak is
@@ -215,6 +231,7 @@ def main():
                 "baseline_per_clip_loop": round(base, 2),
                 "streaming_clips_per_sec_int16": round(streaming, 2),
                 "streaming_clips_per_sec_int16_4k_src": round(streaming_4k, 2),
+                "streaming_clips_per_sec_mulaw_4k_src": round(streaming_mulaw, 2),
                 "achieved_tflops": achieved_tflops,
                 "mfu_vs_v5e_bf16_peak": mfu,
                 "fused_bf16": on_tpu,

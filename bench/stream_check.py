@@ -50,9 +50,12 @@ enc_vars = {
 dev = jax.devices()[0]
 
 
+WIRE = os.environ.get("WIRE", "int16")  # int16 | mulaw (1 B/sample, ~38 dB)
+
+
 @jax.jit
-def batched_4k(wav16, lengths):
-    w = resample_poly_device(wire.decode_device(wav16, "int16"), 4)
+def batched_4k(wavw, lengths):
+    w = resample_poly_device(wire.decode_device(wavw, WIRE), 4)
     mel, nf = dsp.mel_frontend(w, lengths * 4, precision=jax.lax.Precision.HIGH)
     return htsat_apply_fused(enc_vars, mel, nf, HTSATConfig(), mm_dtype=jnp.bfloat16)
 
@@ -62,8 +65,8 @@ len4j = jax.device_put(jnp.asarray(len4), dev)
 
 
 def pack():
-    w4, _ = dsp.pad_batch(clips4k, pad_to_multiple=128, max_len=max_len4, dtype=np.int16)
-    return w4
+    w4, _ = dsp.pad_batch(clips4k, pad_to_multiple=128, max_len=max_len4)
+    return wire.encode_np(w4, WIRE)
 
 
 w0 = pack()

@@ -243,7 +243,8 @@ def mae_train_multiple_data(
                 for s, v in sorted(per_corpus.items())
             },
         )
-        history.append(dict(epoch=epoch, train_loss=train_loss, valid_loss=valid_loss))
+        history.append(dict(epoch=epoch, train_loss=train_loss,
+                            valid_loss=valid_loss, secs=time.time() - t0))
         if verbose:
             print(
                 f"[mae-cp {title}] epoch {epoch} train {train_loss:.4f} "
