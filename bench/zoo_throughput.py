@@ -104,7 +104,7 @@ if os.environ.get("BASELINES", "1") != "0":
     hv = jax.device_put(hv, dev)
     hw = jnp.asarray(r.standard_normal((Bh, 32000)).astype(np.float32) * 0.1)
     h_prod = jax.jit(
-        lambda v, w: hear_forward_fused(v, w, hm.config, fast_softmax=True)["pooled"]
+        lambda v, w: hear_forward_fused(v, w, hm.config, fast_softmax=True)
     )
     h_exact = jax.jit(lambda v, w: hm.apply(v, w)["pooled"])
     EXTRA.append(("hear", 512, 2.0, Bh, h_prod, (hv, hw), lambda: h_exact.lower(hv, hw)))
