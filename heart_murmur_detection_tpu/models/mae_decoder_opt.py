@@ -218,7 +218,16 @@ def decoder_forward_opt(params, h, ids_restore, cfg: MAEConfig,
     n_mask = ids_restore.shape[1] + 1 - h.shape[1]
     mask_tokens = jnp.broadcast_to(params["mask_token"], (B, n_mask, C))
     h_ = jnp.concatenate([h[:, 1:], mask_tokens], axis=1)
-    h_ = jnp.take_along_axis(h_, ids_restore[:, :, None], axis=1)
+    # unshuffle as a one-hot matmul instead of take_along_axis: TPU gathers
+    # serialize per row, the permutation rides the MXU (rows are exact
+    # one-hots; f32 HIGHEST keeps the permuted values to f32 roundoff)
+    Lr = ids_restore.shape[1]
+    onehot = (
+        ids_restore[:, :, None] == jnp.arange(Lr)[None, None, :]
+    ).astype(jnp.float32)
+    h_ = jnp.einsum(
+        "bij,bjd->bid", onehot, h_, precision=jax.lax.Precision.HIGHEST
+    )
     h = jnp.concatenate([h[:, :1], h_], axis=1)
     pos = jnp.asarray(
         sincos_pos_embed_flexible(C, cfg.patch_hw, cls_token=True)

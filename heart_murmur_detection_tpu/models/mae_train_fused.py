@@ -72,7 +72,14 @@ def mae_encode_train_fused(
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]
-    h = jnp.take_along_axis(h, ids_keep[:, :, None], axis=1)
+    # keep-token selection as a one-hot matmul (TPU gathers serialize per
+    # row; exact to f32 roundoff at HIGHEST — same trick as the decoder's
+    # unshuffle in models/mae_decoder_opt.py)
+    sel = (ids_keep[:, :, None] == jnp.arange(L)[None, None, :]).astype(
+        jnp.float32
+    )
+    h = jnp.einsum("bkj,bjd->bkd", sel, h,
+                   precision=jax.lax.Precision.HIGHEST)
     mask = jnp.ones((B, L)).at[:, :len_keep].set(0)
     mask = jnp.take_along_axis(mask, ids_restore, axis=1)
 
