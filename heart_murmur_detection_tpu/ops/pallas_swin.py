@@ -35,6 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 HI = jax.lax.Precision.HIGHEST
 
+# default for _strip_attn's block-diag head packing when the call site passes
+# bd_heads=None: None = auto policy, True/False = forced (bench A/Bs flip
+# this module-level switch to compare layouts in one process)
+BD_HEADS_DEFAULT = None
+
 
 def _erf(x):
     """erf via Abramowitz-Stegun 7.1.26 (max err 1.5e-7) — Mosaic lowers
@@ -92,7 +97,7 @@ def _strip_block(
 def _strip_attn(
     x, mask, bias, w_qkv, b_qkv, w_proj, b_proj, ln1_s, ln1_b,
     *, win: int, heads: int, hdp: int, mm_dtype, fast_softmax: bool = False,
-    pack2=None,
+    pack2=None, bd_heads=None,
 ):
     """Attention half of _strip_block: window partition -> LN1 -> qkv ->
     head-batched windowed attention (+bias/mask) -> proj -> +x -> window
@@ -120,6 +125,25 @@ def _strip_attn(
         .astype(act_dtype)
         .reshape(nw, N, 3 * Cp)
     )  # sublane split only; Mosaic can't split lanes
+
+    gp = 128 // hdp  # heads per block-diag group (4 at the hd=24/hdp=32 zoo)
+    if bd_heads is None:
+        bd_heads = BD_HEADS_DEFAULT
+    if bd_heads is None:
+        # auto: the BD packing folds gp heads into one K=128 matmul via
+        # lane-masked copies (zero blocks contribute exact zeros). Measured
+        # same-process at production stage geometry: the masked-copy
+        # construction costs more than the fuller MXU fill saves, so the
+        # head-BATCHED form stays the default (RESULTS.md round-5 negative
+        # result). The path is kept selectable for other geometries.
+        bd_heads = False
+    if bd_heads and gp > 1 and heads % gp == 0:
+        return _strip_attn_bd(
+            xw, mask, bias, w_proj, b_proj, qkv,
+            bb=bb, cw=cw, C=C, hd=hd, N=N, nw=nw, win=win, tw=tw,
+            heads=heads, hdp=hdp, gp=gp, mm=mm, prec=prec,
+            act_dtype=act_dtype, fast_softmax=fast_softmax, pack2=pack2,
+        )
     # Head-BATCHED attention: stack the per-head lane slices (32-aligned via
     # hdp padding) along the batch (sublane) axis and run ONE qk dot, ONE
     # softmax and ONE av dot over a heads*nw batch — measured 0.25 ms/block
@@ -214,6 +238,147 @@ def _strip_attn(
         + b_proj
     ).reshape(nw, N, C)
 
+    h1 = (xw.astype(jnp.float32) + o).astype(act_dtype)
+    return h1.reshape(bb, tw, win, win, C).transpose(0, 2, 1, 3, 4).reshape(
+        bb, win, cw, C
+    )
+
+
+def _strip_attn_bd(
+    xw, mask, bias, w_proj, b_proj, qkv,
+    *, bb, cw, C, hd, N, nw, win, tw, heads, hdp, gp, mm, prec,
+    act_dtype, fast_softmax, pack2,
+):
+    """Block-diagonal head-packed attention core (round 5).
+
+    The head-batched form runs one (Nt, hdp) x (hdp, Nt) matmul per head per
+    window tile: a 32-deep contraction fills <=25% of the MXU and Mosaic
+    loops the batch. Here gp = 128/hdp heads are folded into ONE K=128
+    matmul per group via lane-masked copies of k (and v):
+
+      K_bd[:, h*Nt+u, c] = k[:, u, c] * [c in head h's lanes]
+      s = q_group @ K_bd^T          (nwt, Nt, gp*Nt) — all gp heads at once
+      out = softmax_seg(s) @ V_bd   (nwt, Nt, 128) — head-lane-major, the
+                                     proj input layout, no unpack concat
+
+    The zero blocks contribute EXACT zeros to the f32 accumulation, so
+    numerics match the batched form bit-for-bit up to sum reassociation.
+    The segmented softmax normalizer is a (gp*Nt, gp) indicator matmul;
+    normalization happens after av on (Nt, hdp)-sized outputs (the
+    fast_softmax ordering), or after a per-segment max subtraction on the
+    exact path. Window-pair packing (pack2) composes: the pairing happens
+    on the qkv tensor before grouping.
+    """
+    scale = hd ** -0.5
+    if pack2 is None:
+        pack2 = C < 128
+    pack2 = pack2 and N == 64 and nw % 2 == 0
+    Cp = heads * hdp
+    if pack2:
+        Nt, nwt = 2 * N, nw // 2
+        qkvt = qkv.reshape(nwt, Nt, 3 * Cp)
+        neg = jnp.full((heads, N, N), -1e9, jnp.float32)
+        bias_t = jnp.concatenate(
+            [
+                jnp.concatenate([bias, neg], axis=2),
+                jnp.concatenate([neg, bias], axis=2),
+            ],
+            axis=1,
+        )  # (heads, 2N, 2N)
+        if mask is not None:
+            mp = mask.reshape(nwt, 2, N, N)
+            m0, m1 = mp[:, 0], mp[:, 1]
+            z = jnp.zeros_like(m0)
+            mask = jnp.concatenate(
+                [
+                    jnp.concatenate([m0, z], axis=2),
+                    jnp.concatenate([z, m1], axis=2),
+                ],
+                axis=1,
+            )  # (nwt, 2N, 2N)
+    else:
+        Nt, nwt = N, nw
+        qkvt = qkv
+        bias_t = bias
+
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, 1, gp * hdp), 2)
+    seg_rows = jax.lax.broadcasted_iota(jnp.int32, (gp * Nt, gp), 0)
+    seg_cols = jax.lax.broadcasted_iota(jnp.int32, (gp * Nt, gp), 1)
+    seg = (seg_rows // Nt == seg_cols).astype(jnp.float32)  # (gp*Nt, gp)
+    # lane-expansion indicators as matmul rhs: Mosaic cannot lower the
+    # minor-dim reshape a jnp.repeat would emit, an indicator matmul rides
+    # the MXU instead
+    er = jax.lax.broadcasted_iota(jnp.int32, (gp, gp * hdp), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (gp, gp * hdp), 1)
+    expand_hdp = (ec // hdp == er).astype(jnp.float32)  # (gp, 128)
+    xr = jax.lax.broadcasted_iota(jnp.int32, (gp, gp * Nt), 0)
+    xc = jax.lax.broadcasted_iota(jnp.int32, (gp, gp * Nt), 1)
+    expand_nt = (xc // Nt == xr).astype(jnp.float32)  # (gp, gp*Nt)
+
+    def _expand(t, ind):
+        return jax.lax.dot_general(
+            t, ind, dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32,
+        )
+
+    outs = []
+    for g in range(heads // gp):
+        lo = g * gp * hdp
+        qg = qkvt[:, :, lo : lo + gp * hdp]
+        kg = qkvt[:, :, Cp + lo : Cp + lo + gp * hdp]
+        vg = qkvt[:, :, 2 * Cp + lo : 2 * Cp + lo + gp * hdp]
+        # lane-masked copies stacked on the sublane axis: K_bd/V_bd
+        # (nwt, gp*Nt, 128); head h's block keeps only its hdp lanes
+        kbd = jnp.concatenate(
+            [kg * (li // hdp == hh).astype(kg.dtype) for hh in range(gp)],
+            axis=1,
+        )
+        vbd = jnp.concatenate(
+            [vg * (li // hdp == hh).astype(vg.dtype) for hh in range(gp)],
+            axis=1,
+        )
+        s = jax.lax.dot_general(
+            mm(qg * scale), mm(kbd),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (nwt, Nt, gp*Nt)
+        gb = jnp.concatenate(
+            [bias_t[g * gp + hh] for hh in range(gp)], axis=-1
+        )  # (Nt, gp*Nt)
+        s = s + gb[None]
+        if mask is not None:
+            s = s + jnp.tile(mask, (1, 1, gp))
+        if not fast_softmax:
+            # per-segment rowwise max (gp slices -> (nwt, Nt, gp))
+            mx = jnp.concatenate(
+                [
+                    jnp.max(s[:, :, hh * Nt : (hh + 1) * Nt], -1, keepdims=True)
+                    for hh in range(gp)
+                ],
+                axis=-1,
+            )
+            s = s - _expand(mx, expand_nt)
+        e = jnp.exp(s)
+        sums = jax.lax.dot_general(
+            e, seg,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=HI, preferred_element_type=jnp.float32,
+        )  # (nwt, Nt, gp) — exact segment sums (indicator matmul)
+        recip = _expand(1.0 / sums, expand_hdp)  # (nwt, Nt, 128)
+        av = jax.lax.dot_general(
+            mm(e), mm(vbd),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=prec, preferred_element_type=jnp.float32,
+        )  # (nwt, Nt, 128), head-lane-major
+        outs.append((av * recip).astype(act_dtype))
+    ost = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    if pack2:
+        ost = ost.reshape(nw, N, Cp)
+    o = (
+        jnp.dot(mm(ost.reshape(nw * N, Cp)), mm(w_proj), precision=prec,
+                preferred_element_type=jnp.float32)
+        + b_proj
+    ).reshape(nw, N, C)
     h1 = (xw.astype(jnp.float32) + o).astype(act_dtype)
     return h1.reshape(bb, tw, win, win, C).transpose(0, 2, 1, 3, 4).reshape(
         bb, win, cw, C

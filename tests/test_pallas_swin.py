@@ -384,3 +384,70 @@ def test_split_block_matches_flax(C, res, heads, shift):
         out = jnp.roll(out, shift, axis=1)
     got = np.asarray(out).reshape(2, H * W, C)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+class TestBDHeadPacking:
+    def test_bd_heads_matches_batched(self):
+        """The block-diag head-packed attention core (_strip_attn_bd — kept
+        selectable; measured ~10% slower than the head-batched default at
+        production geometry, RESULTS.md round-5 negative result) must equal
+        the default path: zero blocks contribute exact zeros, so only sum
+        reassociation differs."""
+        import numpy as np
+
+        from heart_murmur_detection_tpu.models.htsat import (
+            HTSATConfig, _shift_attn_mask, _relative_position_index,
+        )
+        from heart_murmur_detection_tpu.ops import pallas_swin as ps
+
+        cfg = HTSATConfig(
+            spec_size=64, embed_dim=32, depths=(2,), num_heads=(4,),
+            window_size=4, mel_bins=16,
+        )
+        H = W = 8
+        window, heads, dim = 4, 4, 32
+        N = window * window
+        r = np.random.default_rng(0)
+        rel_idx = _relative_position_index(window, window).reshape(-1)
+        p = {
+            "attn": {
+                "qkv": {"kernel": r.standard_normal((dim, 3 * dim)).astype(np.float32) * 0.05,
+                        "bias": r.standard_normal(3 * dim).astype(np.float32) * 0.05},
+                "proj": {"kernel": r.standard_normal((dim, dim)).astype(np.float32) * 0.05,
+                         "bias": r.standard_normal(dim).astype(np.float32) * 0.05},
+                "relative_position_bias_table": r.standard_normal(
+                    ((2 * window - 1) ** 2, heads)).astype(np.float32) * 0.05,
+            },
+            "norm1": {"scale": np.ones(dim, np.float32), "bias": np.zeros(dim, np.float32)},
+            "norm2": {"scale": np.ones(dim, np.float32), "bias": np.zeros(dim, np.float32)},
+            "mlp": {"fc1": {"kernel": r.standard_normal((dim, 4 * dim)).astype(np.float32) * 0.05,
+                            "bias": np.zeros(4 * dim, np.float32)},
+                    "fc2": {"kernel": r.standard_normal((4 * dim, dim)).astype(np.float32) * 0.05,
+                            "bias": np.zeros(dim, np.float32)}},
+        }
+        import jax.numpy as jnp
+
+        bias = jnp.asarray(
+            p["attn"]["relative_position_bias_table"][np.asarray(rel_idx)]
+            .reshape(N, N, heads).transpose(2, 0, 1)
+        )
+        mask = jnp.asarray(_shift_attn_mask(H, W, window, 2))
+        x = jnp.asarray(r.standard_normal((2, H, W, dim)).astype(np.float32) * 0.1)
+        outs = {}
+        for bd in (False, True):
+            old = ps.BD_HEADS_DEFAULT
+            ps.BD_HEADS_DEFAULT = bd
+            try:
+                for fast in (False, True):
+                    outs[(bd, fast)] = np.asarray(
+                        ps.fused_swin_block(
+                            x, p, bias, mask, window=window, num_heads=heads,
+                            roll_w=2, interpret=True, fast_softmax=fast,
+                        )
+                    )
+            finally:
+                ps.BD_HEADS_DEFAULT = old
+        for fast in (False, True):
+            np.testing.assert_allclose(
+                outs[(True, fast)], outs[(False, fast)], rtol=2e-5, atol=2e-6
+            )
