@@ -120,20 +120,37 @@ def main():
     wav16_0, _ = dsp.pad_batch(clips[:BATCH], max_len=max_len, dtype=np.int16)
     np.asarray(batched_i16(jnp.asarray(wav16_0), lenj))  # warm int16 graph
 
-    def _stream(pack, fn, lens):
+    def _stream(pack, fn, lens, n_batches=16, skip=2):
         """Production streaming shape: worker thread packs + device_puts
         depth-deep ahead (FeatureExtractor._prefetch_iter), consumer
-        dispatches compute and syncs one behind."""
-        t0 = time.time()
+        dispatches compute and syncs one behind. Measures the steady-state
+        window (first `skip` batches excluded — with expensive host packs,
+        e.g. mu-law companding on the single host core, the un-overlapped
+        first pack would dominate a short run). n_batches is kept large
+        relative to the prefetch depth so pre-staged batches cannot inflate
+        the window by more than ~20%."""
         n_done = 0
+        t0 = None
         pending = None
-        gen = (jax.device_put(pack()) for _ in range(N_CLIPS // BATCH))
-        for wavd in FeatureExtractor._prefetch_iter(gen):
+        # two pipeline threads: stage 1 packs (CPU-bound, e.g. mu-law
+        # companding), stage 2 device_puts (releases the GIL during the
+        # relay transfer) — so pack(i+2) overlaps transfer(i+1) overlaps
+        # compute(i) even on the single host core
+        packed = FeatureExtractor._prefetch_iter(
+            (pack() for _ in range(n_batches))
+        )
+        gen = (jax.device_put(w) for w in packed)
+        for i, wavd in enumerate(FeatureExtractor._prefetch_iter(gen)):
             fut = fn(wavd, lens)
             if pending is not None:
                 np.asarray(pending)
             pending = fut
-            n_done += BATCH
+            if i + 1 == skip:
+                np.asarray(pending)
+                pending = None
+                t0 = time.time()
+            elif i + 1 > skip:
+                n_done += BATCH
         np.asarray(pending)
         return n_done / (time.time() - t0)
 

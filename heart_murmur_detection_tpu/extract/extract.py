@@ -494,13 +494,21 @@ class FeatureExtractor:
 
         def packed():
             for lo, k, wav, lengths in loader:
-                w = wire.encode_np(wav, self.wire)
-                if self.mesh is None:  # start the async H2D in the worker
+                yield lo, k, wire.encode_np(wav, self.wire), lengths
+
+        def put(gen):
+            for lo, k, w, lengths in gen:
+                if self.mesh is None:  # start the async H2D in this worker
                     w = jax.device_put(w)
                 yield lo, k, w, lengths
 
-        pending = None  # sync stays one behind; pack+transfer run depth-deep
-        for lo, k, wav, lengths in self._prefetch_iter(packed()):
+        # two pipeline threads: stage 1 packs (CPU-bound wire encode),
+        # stage 2 device_puts (GIL released during the relay transfer) —
+        # pack(i+2) overlaps transfer(i+1) overlaps compute(i)
+        pending = None  # sync stays one behind
+        for lo, k, wav, lengths in self._prefetch_iter(
+            put(self._prefetch_iter(packed()))
+        ):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 plo, pk, pf, pw, pl = pending
@@ -527,13 +535,19 @@ class FeatureExtractor:
                 wav, lengths = dsp.pad_batch(
                     chunk, pad_to_multiple=512 // self._up, max_len=max_len
                 )
-                wav = wire.encode_np(wav, self.wire)
-                if self.mesh is None:  # start the async H2D in the worker
-                    wav = jax.device_put(wav)
-                yield hi - lo, wav, lengths
+                yield hi - lo, wire.encode_np(wav, self.wire), lengths
 
-        pending = None  # sync stays one behind; pack+transfer run depth-deep
-        for n, wav, lengths in self._prefetch_iter(packed()):
+        def put(gen):
+            for n, w, lengths in gen:
+                if self.mesh is None:  # start the async H2D in this worker
+                    w = jax.device_put(w)
+                yield n, w, lengths
+
+        # two pipeline threads (pack | put), see _extract_whole_native
+        pending = None  # sync stays one behind
+        for n, wav, lengths in self._prefetch_iter(
+            put(self._prefetch_iter(packed()))
+        ):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn, pw, pl = pending
