@@ -60,9 +60,13 @@ def main():
         import sys as _sys
 
         _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
-        from numerics_pin import run_pin
+        from numerics_pin import (
+            baseline_tower_pin, frontend_precision_pin, run_pin,
+        )
 
         numerics = run_pin()
+        numerics.update(baseline_tower_pin())
+        numerics.update(frontend_precision_pin())
 
     max_len = ((int(CLIP_SEC * SR) + 511) // 512) * 512
 
