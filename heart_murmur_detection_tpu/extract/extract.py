@@ -592,18 +592,33 @@ class FeatureExtractor:
             max_len = ((int(self.input_sec * sr) + mult - 1) // mult) * mult
         out = []
         bs = self.batch_size
+
+        def packed():
+            for lo, hi in _batched(len(chunks), bs):
+                part = chunks[lo:hi]
+                if len(part) < bs:
+                    part = part + [part[0]] * (bs - len(part))
+                wav, lengths = dsp.pad_batch(
+                    part, pad_to_multiple=mult, max_len=max_len
+                )
+                yield hi - lo, wire.encode_np(wav, self.wire), lengths
+
+        def put(gen):
+            for n, w, lengths in gen:
+                if self.mesh is None:  # start the async H2D in this worker
+                    w = jax.device_put(w)
+                yield n, w, lengths
+
+        # two pipeline threads (pack | put), same shape as extract_waveforms
         pending = None
-        for lo, hi in _batched(len(chunks), bs):
-            part = chunks[lo:hi]
-            if len(part) < bs:
-                part = part + [part[0]] * (bs - len(part))
-            wav, lengths = dsp.pad_batch(part, pad_to_multiple=mult, max_len=max_len)
-            wav = wire.encode_np(wav, self.wire)
+        for n, wav, lengths in self._prefetch_iter(
+            put(self._prefetch_iter(packed()))
+        ):
             fut = self._dispatch(wav, lengths)
             if pending is not None:
                 pf, pn, pw, pl = pending
                 out.append(self._harvest(pf, pw, pl)[:pn])
-            pending = (fut, hi - lo, wav, lengths)
+            pending = (fut, n, wav, lengths)
         if pending is not None:
             pf, pn, pw, pl = pending
             out.append(self._harvest(pf, pw, pl)[:pn])
